@@ -1,0 +1,293 @@
+"""F group — scalar function surface (string/regex/date/math/conditional/
+cast/array/explode/map/JSON).
+
+All JVM-side Catalyst expressions inside whole-stage codegen — zero
+Python in these plans. Transcendental math (ln/pow/sqrt) is rounded on
+both engine sides because libm implementations may differ by 1 ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "fn_string",
+    group="F",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 5)            AS name5,
+           upper(p_name)                   AS name_upper,
+           lower(p_brand)                  AS brand_lower,
+           trim(p_name)                    AS name_trim,
+           length(p_name)                  AS name_len,
+           replace(p_type, 'O', '0')       AS type_replaced,
+           concat(p_brand, '#', p_type)    AS brand_type,
+           split_part(p_name, ' ', 1)      AS first_word
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions over part names/brands/types."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_replaced"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regexp",
+    group="F",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1)        AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')   AS name_novowel,
+           CASE WHEN regexp_matches(p_type, '^(PROMO|ECONOMY)')
+                THEN 1 ELSE 0 END                        AS is_promo_econ
+    FROM part
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract / replace / match (patterns restricted to the
+    POSIX-compatible subset so Java and RE2 semantics agree)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_novowel"),
+        F.when(F.col("p_type").rlike(r"^(PROMO|ECONOMY)"), 1)
+        .otherwise(0)
+        .alias("is_promo_econ"),
+    )
+
+
+@register(
+    "fn_date",
+    group="F",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                 AS order_year,
+           CAST(month(o_orderdate) AS INT)                AS order_month,
+           CAST(day(o_orderdate) AS INT)                  AS order_day,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+                                                          AS month_start,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))           AS days_since_epoch0,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction, truncation, diff and arithmetic."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    group="F",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 0)                          AS price_round,
+           abs(-o_totalprice)                              AS price_abs,
+           ceil(o_totalprice)                              AS price_ceil,
+           floor(o_totalprice)                             AS price_floor,
+           round(sqrt(o_totalprice), 6)                    AS price_sqrt,
+           round(ln(o_totalprice), 6)                      AS price_ln,
+           round(power(o_totalprice, 0.5), 6)              AS price_pow,
+           CAST(o_orderkey % 7 AS BIGINT)                  AS key_mod
+    FROM orders
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/power/mod."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).alias("price_round"),
+        F.abs(-F.col("o_totalprice")).alias("price_abs"),
+        # Spark ceil/floor(double) -> LONG, DuckDB -> DOUBLE; align on DOUBLE.
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow("o_totalprice", F.lit(0.5)), 6).alias("price_pow"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_conditional",
+    group="F",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                             AS price_band,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_resolved,
+           greatest(o_totalprice, 150000.0)                AS at_least,
+           least(o_totalprice, 150000.0)                   AS at_most
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_resolved"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("at_least"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("at_most"),
+    )
+
+
+@register(
+    "fn_cast",
+    group="F",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                     AS key_str,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_decimal_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)      AS order_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)      AS date_str,
+           CAST(CAST(trunc(o_totalprice) AS BIGINT) AS DOUBLE) AS price_trunc
+           -- NB: DuckDB CAST(double->int) rounds, Spark truncates;
+           -- explicit trunc() aligns the semantics.
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast lattice: int->string, double->decimal->string,
+    timestamp->date->string, double->bigint->double."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias(
+            "price_decimal_str"
+        ),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.col("o_totalprice").cast("bigint").cast("double").alias("price_trunc"),
+    )
+
+
+@register(
+    "fn_array",
+    group="F",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                  AS dim,
+           embedding[1]                                    AS first_elem,
+           round((SELECT SUM(CAST(e AS DOUBLE))
+                  FROM UNNEST(embedding) AS t(e)), 4)      AS elem_sum
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array size / element access / HOF aggregate over embeddings."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            4,
+        ).alias("elem_sum"),
+    )
+
+
+@register(
+    "fn_explode",
+    group="F",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest: split document text into words, explode, count."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fn_map",
+    group="F",
+    oracle="""
+    SELECT doc_id, lang AS lang_value, source AS source_value, 2 AS map_size
+    FROM documents
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map column and query it back (map_size / element_at);
+    oracle is the identity since map round-trips are value-preserving."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_value"),
+        F.element_at(m, "source").alias("source_value"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@register(
+    "fn_json",
+    group="F",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props string column."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )

@@ -1,0 +1,252 @@
+"""J group — the full join surface.
+
+Join-strategy posture for 100 TB:
+- dimension tables (region/nation/supplier, constant-or-sublinear size)
+  are ALWAYS broadcast — no shuffle of the fact side at all;
+- fact-fact joins (orders ⋈ lineitem) are shuffle joins on the key;
+  AQE handles skew splitting at runtime;
+- non-equi (theta/interval) joins keep one TINY side so Spark picks
+  BroadcastNestedLoopJoin — a cartesian of two big sides is never
+  acceptable at scale, so every theta op here bounds one input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "join_inner",
+    group="J",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join customer ⋈ orders (hash join; AQE may broadcast)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "inner").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    group="J",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dimension — zero shuffle on the
+    probe side. This is the hint every dim join in this repo uses."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "join_sort_merge",
+    group="J",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large fact join with an explicit MERGE hint.
+
+    At 100 TB: if both sides were bucketed by orderkey into the same
+    bucket count, this runs with NO exchange at all (bucketed
+    sort-merge join) — see sources/scans.py sink ops for the layout.
+    """
+    o = table(spark, sf_dir, "orders").hint("merge")
+    li = table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey", "l_linenumber", "l_quantity", "o_totalprice"
+    )
+
+
+@register(
+    "join_left",
+    group="J",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer — customers without orders null-extend."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_right",
+    group="J",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey
+    FROM orders o RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer (mirror of join_left, preserves the right side)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "c_custkey"
+    )
+
+
+@register(
+    "join_full",
+    group="J",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-extension on both sides."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_semi",
+    group="J",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — left-semi join: emits each matching left row once,
+    never widens the row, and stops probing at first match."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    group="J",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — left-anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    group="J",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — only ever legitimate between two tiny dims;
+    both sides here are constant-size regardless of scale factor."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    group="J",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi predicate -> BroadcastNestedLoopJoin. The supplier
+    side is O(1)-sized, so broadcasting it bounds the cost at any SF."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return F.broadcast(s).join(c, s.s_acctbal < c.c_acctbal).select(
+        "s_suppkey", "c_custkey"
+    )
+
+
+@register(
+    "join_interval",
+    group="J",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           CAST(CAST(l.l_shipdate AS DATE) AS VARCHAR) AS shipdate
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + interval predicate: lineitems shipped within 90 days
+    of their order date. The equi part keeps it a hash/merge join; the
+    interval is a post-join residual — no nested loop."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return o.join(li, cond).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").cast("string").alias("shipdate"),
+    )
+
+
+@register(
+    "join_asof",
+    group="J",
+    oracle="""
+    SELECT e.event_id, CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS asof_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order of the same
+    customer at-or-before the event time.
+
+    Spark has no ASOF JOIN operator; the scalable composition is an
+    equi-join on the partition key + max() over the time predicate —
+    one shuffle on user_id/custkey, no nested loop. (We return the
+    as-of DATE rather than an order id so ties on o_orderdate stay
+    deterministic — DuckDB's ASOF picks an arbitrary row among ties.)
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    joined = e.join(o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate))
+    return joined.groupBy("event_id").agg(
+        F.max(F.col("o_orderdate").cast("date").cast("string")).alias("asof_orderdate")
+    )

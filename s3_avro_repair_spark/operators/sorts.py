@@ -1,0 +1,126 @@
+"""O group — sorts, limits, set operations.
+
+Scale notes: global ORDER BY is a range-partitioned sort (sampling +
+range exchange) — fine; ORDER BY + LIMIT k collapses to
+TakeOrderedAndProject (each task keeps a k-heap, driver merges k·p
+rows) — the only safe global sort at 100 TB. LIMIT/OFFSET pagination
+is only deterministic after a total order, so every query here orders
+by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "sort_multi",
+    group="O",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column mixed-direction sort with explicit null placement."""
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_nationkey", "c_acctbal").orderBy(
+        F.col("c_nationkey").asc_nulls_first(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey"),
+    )
+
+
+@register(
+    "topk",
+    group="O",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k -> TakeOrderedAndProject (no full sort ever runs)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "limit_offset",
+    group="O",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination — deterministic because o_orderkey is a total order."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey").orderBy("o_orderkey").offset(40).limit(20)
+
+
+_SLICE_A = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'"
+_SLICE_B = (
+    "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000"
+)
+
+
+@register(
+    "set_union_all",
+    group="O",
+    oracle=f"{_SLICE_A} UNION ALL {_SLICE_B}",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of two overlapping order slices (duplicates kept)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    group="O",
+    oracle=f"{_SLICE_A} UNION {_SLICE_B}",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — duplicates collapse."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    group="O",
+    oracle=f"{_SLICE_A} INTERSECT {_SLICE_B}",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics in both engines)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    group="O",
+    oracle=f"{_SLICE_A} EXCEPT {_SLICE_B}",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (distinct semantics)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
+    return a.subtract(b)

@@ -1,0 +1,183 @@
+"""W group — window functions.
+
+Every window ORDER BY here ends in a unique key (orderkey / event_id)
+so rank assignment is total-ordered and deterministic across engines —
+the discipline SURVEY.md §5.2.4 mandates. Window execution shuffles
+once on partitionBy keys; with billions of rows per key you'd salt or
+pre-bucket, but these partitions (custkey, user_id, returnflag) are
+naturally well-distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import dec2
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "window_rank",
+    group="W",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number of orders per customer by price."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "window_analytic",
+    group="W",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAST_VALUE(value)  OVER w AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per user ordered by time (explicit frame so
+    LAST_VALUE means 'so far', identically in both engines)."""
+    e = table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w_order).alias("prev_value"),
+        F.lead("value").over(w_order).alias("next_value"),
+        F.first("value").over(w_frame).alias("first_value"),
+        F.last("value").over(w_frame).alias("last_value"),
+    )
+
+
+@register(
+    "window_running",
+    group="W",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_orderkey, l_linenumber, l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (exact decimal sum so
+    the prefix sums hash identically)."""
+    li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
+    # quantity tiebreak makes tied rows' prefix sums a stable multiset.
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(dec2("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "window_range_frame",
+    group="W",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           COUNT(*) OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) AS n_in_range
+    FROM lineitem
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: count of rows whose quantity lies within 5
+    units below the current row's quantity."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    group="W",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Spark pushes a per-partition limit
+    into the sort (WindowGroupLimit) so this never materializes full
+    per-group sorts at scale."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_ntile",
+    group="W",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of account balances. NB: an unpartitioned window is a
+    single-task bottleneck at scale — for 100 TB use ntile within a
+    partition or approx percentile buckets instead."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )

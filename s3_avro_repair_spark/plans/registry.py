@@ -1,0 +1,74 @@
+"""Operator registry — the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2B registers itself here with
+(a) a query callable ``(spark, sf_dir) -> DataFrame`` and
+(b) an optional ANSI-SQL oracle string runnable by DuckDB on the same
+parquet fixtures. ``__spark_entry__.py`` exposes this registry as
+``queries()`` / ``oracle_sql()``.
+
+Column-name discipline: the driver's compare sorts columns by name
+before hashing values, so every computed column must carry the SAME
+alias in the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    group: str
+    fn: QueryFn
+    oracle: str | None = None
+    doc: str = field(default="", compare=False)
+
+
+_REGISTRY: dict[str, Op] = {}
+
+# Modules that register ops on import (one per SURVEY.md §2B group).
+_OP_MODULES = [
+    "s3_avro_repair_spark.operators.projections",   # P
+    "s3_avro_repair_spark.operators.joins",         # J
+    "s3_avro_repair_spark.operators.aggregations",  # G
+    "s3_avro_repair_spark.operators.windows",       # W
+    "s3_avro_repair_spark.operators.sorts",         # O
+    "s3_avro_repair_spark.functions.scalar",        # F
+    "s3_avro_repair_spark.operators.llm",           # L
+    "s3_avro_repair_spark.operators.multimodal",    # L (multimodal)
+    "s3_avro_repair_spark.operators.udfs",          # U
+    "s3_avro_repair_spark.sources.scans",           # S
+    "s3_avro_repair_spark.sources.avro_pipeline",   # E
+    "s3_avro_repair_spark.streaming.stream_ops",    # T
+]
+
+_loaded = False
+
+
+def register(name: str, group: str, oracle: str | None = None):
+    """Decorator: register a query fn under an op key."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate op key: {name}")
+        _REGISTRY[name] = Op(name=name, group=group, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Op]:
+    """Import every op module (idempotent) and return the registry."""
+    global _loaded
+    if not _loaded:
+        for mod in _OP_MODULES:
+            importlib.import_module(mod)
+        _loaded = True
+    return dict(_REGISTRY)

@@ -1,0 +1,42 @@
+"""Oracle-parity tests: every registered op with an oracle must match
+DuckDB exactly (row count + columns + order-insensitive values) —
+a local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3_avro_repair_spark.plans.registry import load_all
+from tools.verify_local import compare
+
+_OPS = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(_OPS))
+def test_op_matches_oracle(name, spark, sf_dir, duck):
+    op = _OPS[name]
+    sdf = op.fn(spark, sf_dir).toPandas()
+    if op.oracle is None:
+        # rows-only contract: must produce a stable schema; rows >= 0.
+        assert sdf is not None
+        return
+    ddf = duck.execute(op.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
