@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+EXACTLY ONE JSON line to stdout:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion through the `noop` sink (full
+physical execution, no driver-side materialization cost), after a
+session warm-up so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per group, weighted toward the
+# shuffle-heavy plans that dominate at scale. Names missing from the
+# registry (earlier rounds) are skipped gracefully.
+HEADLINE = [
+    "agg_groupby",          # flagship TPC-H Q1 shape
+    "agg_distinct",
+    "join_sort_merge",      # large-large shuffle join
+    "join_broadcast",
+    "join_asof",            # union + window asof plan
+    "window_running",
+    "window_topk_per_group",
+    "topk",
+    "fn_json",
+    "dedup_exact",          # L group
+    "text_tfidf",
+    "sim_knn_topk",
+    "stream_session",       # T group (batch-equivalent plan)
+    "avro_validate",        # E group (binaryFile + mapInPandas)
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    spark = get_session("bench", master=f"local[{cpus}]")
+    ops = load_all()
+
+    # Warm up the JVM / codegen / Arrow paths once.
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        op = ops.get(name)
+        if op is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # never let one query kill the bench
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

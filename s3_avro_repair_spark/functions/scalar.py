@@ -280,7 +280,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="F",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_value
     FROM events
     """,
 )

@@ -194,18 +194,19 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit grouping sets via Spark SQL."""
+    """Explicit grouping sets via the DataFrame API (Spark 4.0+
+    ``DataFrame.groupingSets``) — no session-global temp view needed."""
     li = table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("__gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS gid,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               COUNT(*) AS n
-        FROM __gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
     )
 
 

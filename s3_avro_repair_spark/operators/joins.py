@@ -12,7 +12,7 @@ Join-strategy posture for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -238,15 +238,46 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the latest order of the same
     customer at-or-before the event time.
 
-    Spark has no ASOF JOIN operator; the scalable composition is an
-    equi-join on the partition key + max() over the time predicate —
-    one shuffle on user_id/custkey, no nested loop. (We return the
-    as-of DATE rather than an order id so ties on o_orderdate stay
+    Spark has no ASOF JOIN operator. The scale-safe composition is NOT
+    a join at all: union both sides tagged by kind, then one
+    ``last(order_date, ignorenulls=True)`` window per user ordered by
+    time. A join on user_id with a ts residual materializes
+    (events x prior orders) per user — quadratic per key, a skew bomb
+    at 100x — while this plan is one shuffle on user_id and linear in
+    |events| + |orders|. Orders sort before events at equal ts
+    (kind 0 < 1) so ``ts >= o_orderdate`` ties match, and tied orders
+    share the same o_orderdate so the result is deterministic. (We
+    return the as-of DATE rather than an order id so ties stay
     deterministic — DuckDB's ASOF picks an arbitrary row among ties.)
     """
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
-    joined = e.join(o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate))
-    return joined.groupBy("event_id").agg(
-        F.max(F.col("o_orderdate").cast("date").cast("string")).alias("asof_orderdate")
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(1).alias("kind"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "asof", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("kind") == 1) & F.col("asof").isNotNull())
+        .select(
+            "event_id",
+            F.col("asof").cast("date").cast("string").alias("asof_orderdate"),
+        )
     )

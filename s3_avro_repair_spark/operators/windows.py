@@ -173,11 +173,48 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartiles of account balances. NB: an unpartitioned window is a
-    single-task bottleneck at scale — for 100 TB use ntile within a
-    partition or approx percentile buckets instead."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    """Quartiles of account balances via DISTRIBUTED global ranking.
+
+    ``NTILE(4) OVER (ORDER BY ...)`` with no PARTITION BY forces every
+    row through one task. Instead: range-repartition on the sort key
+    (Spark's distributed sort machinery — each partition holds a
+    contiguous key range), row_number WITHIN each partition, then add
+    per-partition prefix-count offsets (a <=shuffle-partitions-row
+    side table, broadcast back) to get the exact global rank, and apply
+    the SQL NTILE formula (first ``total % n`` buckets get the extra
+    row). Identical output to the single-task plan, but every heavy
+    stage is parallel — this survives 100x.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = c.repartitionByRange(8, "c_acctbal", "c_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    ranked = ranged.withColumn("lrn", F.row_number().over(w_local))
+    # Per-partition counts: tiny (<= #partitions rows), so the
+    # unpartitioned prefix-sum window below is a trivially small task.
+    counts = ranked.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_prefix = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    g = ranked.join(F.broadcast(offsets), "pid").withColumn(
+        "rn", F.col("off") + F.col("lrn")
+    )
+    # NTILE(n): q = total/n rows per bucket, first r = total%n buckets
+    # take one extra. CASE short-circuits, so q=0 never divides.
+    n = F.lit(4)
+    q, r = F.col("total") / n, F.col("total") % n
+    q_floor = F.floor(q)
+    cut = r * (q_floor + 1)
+    tile = F.when(
+        F.col("rn") <= cut, F.floor((F.col("rn") - 1) / (q_floor + 1)) + 1
+    ).otherwise(r + F.floor((F.col("rn") - 1 - cut) / q_floor) + 1)
+    return g.select(
+        "c_custkey", "c_acctbal", tile.cast("int").alias("quartile")
     )

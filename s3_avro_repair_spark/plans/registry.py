@@ -13,11 +13,14 @@ alias in the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..session import tune_for_oracle
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -53,12 +56,27 @@ _loaded = False
 
 
 def register(name: str, group: str, oracle: str | None = None):
-    """Decorator: register a query fn under an op key."""
+    """Decorator: register a query fn under an op key.
+
+    The registered callable is wrapped so that ``tune_for_oracle`` runs
+    first: the driver invokes queries with ITS OWN SparkSession, and the
+    oracles for timestamp-casting ops (fn_date, join_asof, …) depend on
+    UTC session time and the nanos-parquet read conf. Wrapping here
+    guarantees determinism without each op remembering to call it.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate op key: {name}")
-        _REGISTRY[name] = Op(name=name, group=group, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_for_oracle(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Op(
+            name=name, group=group, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
+        )
         return fn
 
     return deco

@@ -47,17 +47,20 @@ def get_session(
         .config("spark.ui.enabled", "false")
         # Deterministic timestamp semantics for the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read raw nanos (tables.py truncates to µs).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
 
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
-    """Runtime-settable knobs applied inside every registered query.
-
-    The driver calls queries with *its own* session; these confs are
-    all runtime-mutable so each query is self-contained.
+    """Runtime-settable knobs applied by the registry wrapper around
+    EVERY registered query (``plans/registry.py::register``), so results
+    stay deterministic when the driver supplies its own SparkSession.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

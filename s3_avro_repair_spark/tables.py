@@ -36,11 +36,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects outright; we read it as raw nanos
-    (``nanosAsLong``) and integer-divide down to microseconds — exact,
-    JVM-side, and identical to DuckDB's ns->us truncation.
+    (``nanosAsLong``, set in the session factory and re-asserted by the
+    registry's ``tune_for_oracle`` wrapper — not mutated here) and
+    integer-divide down to microseconds — exact, JVM-side, and identical
+    to DuckDB's ns->us truncation. Fixture event timestamps carry no
+    sub-microsecond component (TESTDATA.md seeds are ms-resolution), so
+    the truncation is lossless.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")

@@ -17,8 +17,11 @@ def test_op_matches_oracle(name, spark, sf_dir, duck):
     op = _OPS[name]
     sdf = op.fn(spark, sf_dir).toPandas()
     if op.oracle is None:
-        # rows-only contract: must produce a stable schema; rows >= 0.
-        assert sdf is not None
+        # rows-only contract: a real schema (named, non-empty columns)
+        # and materializable rows. (toPandas() already forced execution.)
+        assert len(sdf.columns) > 0
+        assert all(isinstance(c, str) and c for c in sdf.columns)
+        assert len(sdf) >= 0
         return
     ddf = duck.execute(op.oracle).fetchdf()
     problems = compare(name, sdf, ddf)

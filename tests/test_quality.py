@@ -1,0 +1,53 @@
+"""Quality checks beyond the oracle gate: approximation accuracy and
+plan-shape assertions for ops the hash check can't fully validate."""
+
+from __future__ import annotations
+
+from s3_avro_repair_spark.plans.registry import load_all
+
+_OPS = load_all()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir, duck):
+    """HLL++ has no cross-engine oracle; assert the approximation is
+    within 3x the configured rsd (0.01) of DuckDB's exact distinct."""
+    sdf = _OPS["agg_approx_distinct"].fn(spark, sf_dir).toPandas()
+    exact = duck.execute(
+        """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchdf()
+    merged = sdf.merge(exact, on="l_returnflag")
+    assert len(merged) == len(exact)
+    for _, row in merged.iterrows():
+        rel_err = abs(row.approx_parts - row.exact_parts) / row.exact_parts
+        assert rel_err <= 3 * 0.01, (
+            f"{row.l_returnflag}: approx={row.approx_parts} "
+            f"exact={row.exact_parts} rel_err={rel_err:.4f}"
+        )
+
+
+def test_asof_plan_has_no_join(spark, sf_dir):
+    """join_asof must be the union+window plan — a join on user_id with
+    a ts residual inflates quadratically per key at scale."""
+    df = _OPS["join_asof"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, f"asof plan contains a join:\n{plan}"
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ntile_plan_is_partitioned(spark, sf_dir):
+    """window_ntile must not push all rows through one unpartitioned
+    global window."""
+    df = _OPS["window_ntile"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The heavy window runs partitioned by pid; the only global sort is
+    # the range repartition (distributed) and the tiny counts window.
+    assert "partitionBy" not in plan or True  # plan text varies; key check below
+    import re
+
+    # No Window node may operate over the full input without partitioning:
+    # the local row_number window must mention pid in its partition spec.
+    win_specs = re.findall(r"Window \[(.*?)\]", plan)
+    assert any("pid" in s for s in win_specs), plan
