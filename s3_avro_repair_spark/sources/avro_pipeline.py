@@ -1,1 +1,446 @@
-"""stub — filled in later this round."""
+"""E group — the Avro validate/repair/rewrite pipeline (the reference's
+entire reason to exist, re-expressed as DataFrame operations).
+
+Reference anchors (``/root/reference/src/services/repair-avro.ts``):
+- object listing :37-40            -> ``binaryFile`` scan (one row per file)
+- download :106-116                -> executors stream file bytes; no staging
+- sampled validate :126-142        -> :func:`avro_validate` (strict full decode
+  by default — the 100 TB-honest choice; sampling was the reference's cost
+  dodge, ``resources/application.yml:6-7``)
+- block-salvage repair :144-164    -> :func:`avro_repair` via
+  ``avro_codec.salvage_ocf`` (sync-marker resync)
+- atomic swap :152-153             -> write-to-tmp + ``os.replace`` per file
+- conditional re-upload :118-124   -> :func:`avro_rewrite` with an explicit URI
+- per-file outcomes :58,64         -> :func:`pipeline_report` (healthy /
+  repaired / unrepairable), failures isolated per file — never
+  abort-the-run (contrast the reference's single try/catch :72-74)
+
+Scale design: every op is ``binaryFile`` -> ``mapInPandas`` with ONE TASK
+PER FILE (Arrow batches, no driver buffering, no whole-directory
+reads). At 1000 executors each task validates/repairs its own file;
+a corrupt file yields a report row instead of killing the job.
+
+The spark-avro jar is absent from this classpath, so scan/write use the
+repo's own pure-Python OCF codec (``avro_codec.py``) — same public
+container format, in-process.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..avro_codec import (
+    block_spans,
+    read_ocf,
+    salvage_ocf,
+    write_ocf,
+)
+from ..exprs import dsum
+from ..plans.registry import register
+from ..tables import table
+
+ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "order",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_orderstatus", "type": "string"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderdate", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    ],
+}
+ORDERS_COLS = [f["name"] for f in ORDERS_SCHEMA["fields"]]
+ORDERS_SPARK_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate_us long"
+)
+N_FILES = 8
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CACHE_ROOT = os.path.join(_REPO_ROOT, ".avro_cache")
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture generation (driver-side, tiny, cached per sf)
+# ---------------------------------------------------------------------------
+
+
+def _orders_records(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    # pandas 2.x preserves the parquet ms resolution; normalize to µs
+    # explicitly rather than assuming ns.
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+    return df[ORDERS_COLS]
+
+
+def inject_truncate(data: bytes) -> bytes:
+    """Cut the file in the middle of its middle block."""
+    spans = block_spans(data)
+    _, payload_start, size, _ = spans[len(spans) // 2]
+    return data[: payload_start + size // 2]
+
+
+def inject_flip(data: bytes) -> bytes:
+    """Overwrite the LAST 16 bytes of the first block's payload with
+    0xFF. Avro blocks carry no checksum, so a bit-flip inside a double
+    is undetectable by ANY reader (including avro-tools) — a detectable
+    injury must break structure. A 16-byte 0xFF run always does:
+    a varint hits >64-bit continuation, a length overruns the buffer,
+    or string content fails utf-8."""
+    spans = block_spans(data)
+    _, payload_start, size, _ = spans[0]
+    b = bytearray(data)
+    b[payload_start + size - 16 : payload_start + size] = b"\xff" * 16
+    return bytes(b)
+
+
+def inject_bad_sync(data: bytes) -> bytes:
+    """Zero out the sync marker trailing the first block."""
+    spans = block_spans(data)
+    end = spans[0][3]
+    b = bytearray(data)
+    b[end - 16 : end] = b"\x00" * 16
+    return bytes(b)
+
+
+def inject_bad_header(data: bytes) -> bytes:
+    """Clobber the magic — schema is unrecoverable."""
+    return b"XXXX" + data[4:]
+
+
+_INJURIES = {1: inject_truncate, 2: inject_flip, 3: inject_bad_sync, 4: inject_bad_header}
+
+# Expected per-file outcome of the deterministic corruption layout.
+EXPECTED_VALIDATE = {
+    i: ("corrupt" if i in _INJURIES else "healthy") for i in range(N_FILES)
+}
+EXPECTED_REPAIR = {
+    0: ("healthy", 0), 1: ("repaired", 1), 2: ("repaired", 1),
+    3: ("repaired", 0), 4: ("unrepairable", -1),
+    5: ("healthy", 0), 6: ("healthy", 0), 7: ("healthy", 0),
+}
+
+
+def ensure_avro_fixtures(sf_dir: str) -> str:
+    """Generate (once, atomically, cached) the Avro fixture tree for a
+    scale factor:
+
+    - ``clean/orders_{0..7}.avro``      — orders split by o_orderkey % 8
+    - ``partitioned/year=YYYY/orders.avro`` — Hive-style layout
+    - ``corrupt/orders_{0..7}.avro``    — files 1-4 deterministically
+      injured (truncate mid-block / byte flips / clobbered sync /
+      damaged header), the rest byte-identical to clean
+    """
+    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    if os.path.isdir(root):
+        return root
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    # tmp lives INSIDE the cache root so the final os.rename is same-fs atomic
+    tmp = tempfile.mkdtemp(prefix=".avro_fixtures_", dir=_CACHE_ROOT)
+    try:
+        df = _orders_records(sf_dir)
+        clean_dir = os.path.join(tmp, "clean")
+        part_dir = os.path.join(tmp, "partitioned")
+        corrupt_dir = os.path.join(tmp, "corrupt")
+        os.makedirs(clean_dir)
+        os.makedirs(corrupt_dir)
+
+        clean_bytes: dict[int, bytes] = {}
+        bucket = (df["o_orderkey"] % N_FILES).to_numpy()
+        for i in range(N_FILES):
+            part = df[bucket == i]
+            recs = (dict(zip(ORDERS_COLS, t)) for t in part.itertuples(index=False))
+            import io
+
+            bio = io.BytesIO()
+            write_ocf(bio, ORDERS_SCHEMA, recs, codec="null", block_records=100)
+            clean_bytes[i] = bio.getvalue()
+            with open(os.path.join(clean_dir, f"orders_{i}.avro"), "wb") as fo:
+                fo.write(clean_bytes[i])
+
+        for i in range(N_FILES):
+            data = clean_bytes[i]
+            if i in _INJURIES:
+                data = _INJURIES[i](data)
+            with open(os.path.join(corrupt_dir, f"orders_{i}.avro"), "wb") as fo:
+                fo.write(data)
+
+        years = pd.to_datetime(df["o_orderdate"], unit="us").dt.year
+        for year in sorted(years.unique()):
+            ydir = os.path.join(part_dir, f"year={year}")
+            os.makedirs(ydir)
+            part = df[years == year]
+            recs = (dict(zip(ORDERS_COLS, t)) for t in part.itertuples(index=False))
+            with open(os.path.join(ydir, "orders.avro"), "wb") as fo:
+                write_ocf(fo, ORDERS_SCHEMA, recs, codec="null", block_records=100)
+
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            pass  # another process won the race; its tree is equivalent
+        return root
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed read/write helpers (shared with S group's sink_avro)
+# ---------------------------------------------------------------------------
+
+
+def _binary_files(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+
+def read_avro_dir(
+    spark: SparkSession, path: str, schema: dict, spark_schema: str
+) -> DataFrame:
+    """Strict distributed Avro scan: binaryFile -> mapInPandas decode,
+    one file per row, corruption fails the task (scan semantics; use
+    avro_validate/avro_repair for tolerant reads)."""
+    names = [f["name"] for f in schema["fields"]]
+    # Output column names come from the Spark schema (positional), so a
+    # logical-type column can surface under a clearer name (…_us).
+    out_names = [c.strip().split()[0] for c in spark_schema.split(",")]
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    out = pd.DataFrame(recs, columns=names)
+                    out.columns = out_names
+                    yield out
+        yield pd.DataFrame({n: [] for n in out_names})
+
+    return _binary_files(spark, path).select("content").mapInPandas(
+        decode, schema=spark_schema
+    )
+
+
+def write_avro_dir(
+    df: DataFrame, out_dir: str, schema: dict, codec: str = "null"
+) -> int:
+    """Distributed Avro sink: each partition streams its rows into ONE
+    container file, written to ``.tmp`` then atomically renamed — the
+    per-file analog of the reference's delete+rename swap
+    (repair-avro.ts:152-153). Returns number of files written."""
+    names = [f["name"] for f in schema["fields"]]
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+
+        def recs():
+            for pdf in batches:
+                for t in pdf[names].itertuples(index=False):
+                    yield dict(zip(names, t))
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fo:
+            n = write_ocf(fo, schema, recs(), codec=codec, block_records=1000)
+        if n:
+            os.replace(tmp, path)
+        else:
+            os.remove(tmp)
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    report = df.mapInPandas(write, schema="path string, n_records long")
+    return report.count()  # materialize -> files committed
+
+
+def _salvage_report(batches):
+    """mapInPandas kernel shared by validate/repair/report: one report
+    row per file, failures isolated per file."""
+    for pdf in batches:
+        files, statuses, lost = [], [], []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            res = salvage_ocf(bytes(content))
+            files.append(os.path.basename(path))
+            if res.healthy:
+                statuses.append("healthy")
+                lost.append(0)
+            elif res.repairable:
+                statuses.append("repaired")
+                lost.append(res.n_blocks_bad)
+            else:
+                statuses.append("unrepairable")
+                lost.append(-1)
+        yield pd.DataFrame({"file": files, "status": statuses, "lost_blocks": lost})
+
+
+# ---------------------------------------------------------------------------
+# registered ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "avro_scan",
+    group="E",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+    FROM orders
+    """,
+)
+def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container scan -> DataFrame (reference A7's download step,
+    distributed). Hash-checked against the parquet ground truth — the
+    full codec round-trip (write in fixtures, read here) must be
+    value-exact including the timestamp-micros logical type."""
+    root = ensure_avro_fixtures(sf_dir)
+    return read_avro_dir(
+        spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA
+    )
+
+
+@register(
+    "avro_scan_partitioned",
+    group="E",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def avro_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout (the reference's ``data=YYYY-MM-DD``
+    prefix convention, repair-avro.ts:92): the partition value is
+    carried by the PATH, not the file bytes — pruning a year touches
+    zero bytes of the other years' objects."""
+    root = ensure_avro_fixtures(sf_dir)
+    bf = _binary_files(spark, os.path.join(root, "partitioned"))
+    year = F.regexp_extract(F.col("path"), r"year=(\d+)", 1).alias("year")
+
+    def count_records(batches):
+        for pdf in batches:
+            ns = [len(read_ocf(bytes(c))[1]) for c in pdf["content"]]
+            yield pd.DataFrame({"year": pdf["year"], "n_file": ns})
+
+    per_file = bf.select(year, "content").mapInPandas(
+        count_records, schema="year string, n_file long"
+    )
+    return per_file.groupBy("year").agg(F.sum("n_file").alias("n"))
+
+
+_VALIDATE_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('orders_{i}.avro', '{EXPECTED_VALIDATE[i]}')" for i in range(N_FILES)
+) + ") AS t(file, status)"
+
+
+@register("avro_validate", group="E", oracle=_VALIDATE_ORACLE)
+def avro_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file health report over the corruption fixture set — the
+    reference's ``analyze()`` (repair-avro.ts:126-142) with strict FULL
+    decode instead of its 1% sample (a sampled pass can miss corruption
+    in unsampled blocks; at scale honesty beats the shortcut, and the
+    work is one parallel task per file). The oracle pins the exact
+    deterministic outcome of the injected corruption."""
+    root = ensure_avro_fixtures(sf_dir)
+    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+
+    def validate(batches):
+        for pdf in batches:
+            files, statuses = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                res = salvage_ocf(bytes(content))
+                files.append(os.path.basename(path))
+                statuses.append("healthy" if res.healthy else "corrupt")
+            yield pd.DataFrame({"file": files, "status": statuses})
+
+    return bf.select("path", "content").mapInPandas(
+        validate, schema="file string, status string"
+    )
+
+
+_REPAIR_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('orders_{i}.avro', '{s}', {lost})" for i, (s, lost) in EXPECTED_REPAIR.items()
+) + ") AS t(file, status, lost_blocks)"
+
+
+@register("avro_repair", group="E", oracle=_REPAIR_ORACLE)
+def avro_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-salvage repair report (reference ``repair()``,
+    repair-avro.ts:144-164): per file, keep every decodable block,
+    resync past damaged sync markers, count lost blocks; a damaged
+    header is unrepairable (-1). Failures never abort the run —
+    contrast the reference's whole-run try/catch (:72-74)."""
+    root = ensure_avro_fixtures(sf_dir)
+    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+    return bf.select("path", "content").mapInPandas(
+        _salvage_report, schema="file string, status string, lost_blocks int"
+    )
+
+
+@register(
+    "avro_rewrite",
+    group="E",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_odate_us
+    FROM orders
+    """,
+)
+def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write-back round-trip (reference upload, repair-avro.ts:118-124,
+    but with an explicit output URI — its bucket-string bug is SURVEY
+    §2A's latent defect). DataFrame -> deflate-compressed container
+    files (one per partition, tmp + atomic rename) -> strict re-scan ->
+    aggregate, hash-checked against the source-of-truth parquet."""
+    out = tempfile.mkdtemp(prefix="avro_rewrite_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        # NTZ -> TS cast is exact under the UTC session tz the registry
+        # wrapper enforces; unix_micros then matches DuckDB's epoch_us.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
+    )
+    write_avro_dir(o, out, ORDERS_SCHEMA, codec="deflate")
+    back = read_avro_dir(spark, out, ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.max("o_orderdate_us").alias("max_odate_us"),
+    )
+
+
+_STATUS_COUNTS: dict[str, int] = {}
+for _s, _ in EXPECTED_REPAIR.values():
+    _STATUS_COUNTS[_s] = _STATUS_COUNTS.get(_s, 0) + 1
+_REPORT_ORACLE = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{s}', {n})" for s, n in sorted(_STATUS_COUNTS.items())
+) + ") AS t(status, n_files)"
+
+
+@register("pipeline_report", group="E", oracle=_REPORT_ORACLE)
+def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-run summary the reference only ever logged line-by-line
+    (repair-avro.ts:58,64 + progress bar): outcome -> file count, as a
+    queryable DataFrame. Composes avro_repair's per-file report."""
+    root = ensure_avro_fixtures(sf_dir)
+    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+    per_file = bf.select("path", "content").mapInPandas(
+        _salvage_report, schema="file string, status string, lost_blocks int"
+    )
+    return per_file.groupBy("status").agg(F.count(F.lit(1)).alias("n_files"))

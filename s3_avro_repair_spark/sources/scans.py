@@ -1,1 +1,176 @@
-"""stub — filled in later this round."""
+"""S group — scans, sources, sinks.
+
+The reference's source side is an S3 object listing + whole-object
+download (``/root/reference/src/services/repair-avro.ts:37-40,106-116``);
+its sink side is a conditional whole-object re-upload (``:118-124``).
+Spark replaces both with declarative scans (pushdown, pruning, per-file
+provenance via ``input_file_name``) and committed distributed writes —
+no staging copies, no driver-side buffering.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exprs import dsum
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "scan_parquet",
+    group="S",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter pushed INTO the parquet scan.
+
+    ``.explain("formatted")`` shows ``PushedFilters:
+    [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]`` and a
+    3-column ReadSchema — at 100 TB the scan decodes 3 of 11 columns
+    and skips row groups whose max(l_quantity) <= 45 via statistics.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "scan_with_filename",
+    group="S",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file, COUNT(*) AS n FROM lineitem
+    """,
+)
+def scan_with_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file provenance — the engine analog of the reference's
+    object listing (repair-avro.ts:37-40): every row knows its source
+    object, then a per-file rollup. ``input_file_name()`` is evaluated
+    inside the scan, zero extra I/O."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("scan_sample", group="S", oracle=None)
+def scan_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample with a fixed seed — the engine analog of the
+    reference's sampled validation (``samplerate: .01``,
+    resources/application.yml:7). Sampling is pushed into the scan
+    (SampleExec over the file scan, no full materialization).
+    rows-only check: the sampling RNG is engine-specific, but the seed
+    makes it reproducible run-to-run within Spark."""
+    o = table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sink_parquet",
+    group="S",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + read-back round-trip.
+
+    Writes orders Hive-partitioned by ``o_orderstatus=...`` (the layout
+    that makes partition pruning free on every later read — SURVEY §1.1
+    maps the reference's ``data=YYYY-MM-DD`` prefixes to exactly this),
+    then re-reads and aggregates. Spark's FileOutputCommitter gives the
+    write-to-temp + atomic-rename semantics the reference hand-rolls
+    (repair-avro.ts:152-153).
+    """
+    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "sink_avro",
+    group="S",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink + read-back round-trip (the reference's re-upload
+    analog, repair-avro.ts:118-124, with an explicit output URI instead
+    of its buggy bucket string — see SURVEY §2A latent defect).
+
+    The spark-avro jar is not on this classpath, so the container files
+    are written by our own pure-Python OCF codec (avro_codec.py) — one
+    file per partition via mapInPandas, then scanned back with the same
+    codec. See sources/avro_pipeline.py for the full pipeline surface.
+    """
+    from .avro_pipeline import read_avro_dir, write_avro_dir
+
+    out = tempfile.mkdtemp(prefix="sink_avro_")
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    schema = {
+        "type": "record",
+        "name": "document",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": "string"},
+            {"name": "n_chars", "type": "long"},
+        ],
+    }
+    write_avro_dir(d, out, schema)
+    back = read_avro_dir(
+        spark, out, schema, "doc_id long, text string, lang string, n_chars long"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "sink_bucketed",
+    group="S",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join layout: both join sides repartitioned to the SAME
+    hash partitioning on the join key before the join, so the join
+    itself is exchange-free (the promise in joins.py::join_sort_merge).
+
+    On a real cluster this layout is persisted once via
+    ``write.bucketBy(n, key).sortBy(key).saveAsTable(...)`` and every
+    subsequent join on the key skips its shuffle; here we build the
+    partitioning in-plan (no metastore in the driver session) — the
+    join below runs with both sides already hash-partitioned(8) on the
+    key, which AQE recognizes and plans zero extra exchanges for.
+    """
+    o = table(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    li = table(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )

@@ -1,0 +1,163 @@
+"""Corruption-injection property tests for the Avro OCF codec and the
+E-group pipeline ops (SURVEY §5.2.2): validate flags exactly the
+injured files; repair salvages every uninjured block; salvaged row
+multisets equal the clean file minus the injured blocks."""
+
+from __future__ import annotations
+
+import io
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3_avro_repair_spark.avro_codec import (
+    CorruptBlock,
+    CorruptHeader,
+    block_spans,
+    read_ocf,
+    salvage_ocf,
+    write_ocf,
+    write_ocf_bytes,
+)
+from s3_avro_repair_spark.sources.avro_pipeline import (
+    inject_bad_header,
+    inject_bad_sync,
+    inject_flip,
+    inject_truncate,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "price", "type": "double"},
+        {"name": "maybe", "type": ["null", "long"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+def mkrecs(n: int) -> list[dict]:
+    return [
+        {
+            "k": i,
+            "name": f"row-{i}-é中",
+            "price": i * 1.25,
+            "maybe": None if i % 3 == 0 else i * 7,
+            "tags": [f"t{i % 5}", "x"] if i % 2 else [],
+            "attrs": {"a": i, "b": -i} if i % 4 else {},
+        }
+        for i in range(n)
+    ]
+
+
+RECS = mkrecs(1000)
+BLOCK = 100  # records per block -> 10 blocks
+
+
+@pytest.fixture(scope="module", params=["null", "deflate"])
+def data(request):
+    return write_ocf_bytes(SCHEMA, RECS, codec=request.param, block_records=BLOCK)
+
+
+def keyset(recs):
+    return Counter(r["k"] for r in recs)
+
+
+def test_roundtrip_exact(data):
+    schema, back = read_ocf(data)
+    assert back == RECS
+    assert schema == SCHEMA
+
+
+def test_truncate_salvages_all_blocks_before_cut(data):
+    res = salvage_ocf(inject_truncate(data))
+    assert res.header_ok and not res.healthy and res.repairable
+    # cut lands mid-block-5: blocks 0-4 fully salvaged, nothing invented
+    assert res.n_blocks_ok == 5 and res.n_blocks_bad == 1
+    assert keyset(res.records) == keyset(RECS[: 5 * BLOCK])
+
+
+def test_flip_loses_exactly_one_block(data):
+    res = salvage_ocf(inject_flip(data))
+    assert res.header_ok and not res.healthy and res.repairable
+    assert res.n_blocks_bad == 1
+    # injured block is block 0; every other block survives intact
+    assert keyset(res.records) == keyset(RECS[BLOCK:])
+
+
+def test_bad_sync_recovers_all_records(data):
+    res = salvage_ocf(inject_bad_sync(data))
+    assert res.header_ok and not res.healthy and res.repairable
+    # payload decoded byte-exactly -> records kept, marker resynced
+    assert res.n_blocks_bad == 0 and res.n_blocks_resynced == 1
+    assert keyset(res.records) == keyset(RECS)
+
+
+def test_bad_header_is_unrepairable(data):
+    res = salvage_ocf(inject_bad_header(data))
+    assert not res.header_ok and not res.repairable
+    assert res.records == []
+    with pytest.raises(CorruptHeader):
+        read_ocf(inject_bad_header(data))
+
+
+def test_strict_read_rejects_every_injury(data):
+    for injure in (inject_truncate, inject_flip, inject_bad_sync):
+        with pytest.raises((CorruptBlock, CorruptHeader)):
+            read_ocf(injure(data))
+
+
+def test_block_spans_cover_file(data):
+    spans = block_spans(data)
+    assert len(spans) == 10
+    # contiguous: each block starts where the previous ended
+    for (_, _, _, end), (start, _, _, _) in zip(spans, spans[1:]):
+        assert start == end
+    assert spans[-1][3] == len(data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=30),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+        ),
+        max_size=50,
+    )
+)
+def test_property_roundtrip(rows):
+    """Any record multiset round-trips bit-exactly through the codec."""
+    schema = {
+        "type": "record",
+        "name": "p",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "d", "type": "double"},
+            {"name": "u", "type": ["null", "long"]},
+        ],
+    }
+    recs = [dict(zip("asdu", r)) for r in rows]
+    for codec in ("null", "deflate"):
+        _, back = read_ocf(
+            write_ocf_bytes(schema, recs, codec=codec, block_records=7)
+        )
+        assert back == recs
+
+
+def test_writer_streams_blocks():
+    """write_ocf consumes a generator lazily (no list materialization)."""
+    bio = io.BytesIO()
+    n = write_ocf(bio, SCHEMA, (r for r in RECS), block_records=64)
+    assert n == len(RECS)
+    _, back = read_ocf(bio.getvalue())
+    assert back == RECS
