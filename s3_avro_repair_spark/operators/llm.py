@@ -1,1 +1,430 @@
-"""stub — filled in later this round."""
+"""L group — LLM-training-data pipeline operators over the
+``documents`` / ``embeddings`` fixtures: deduplication, text analysis,
+similarity search. (Multimodal plumbing lives in multimodal.py.)
+
+100 TB posture, applied uniformly here:
+- NO unbounded all-pairs joins. Every pairwise op is blocked (label,
+  lang/source) and banded (id-distance) or LSH-bucketed BEFORE any
+  join, so output and compute grow linearly, not quadratically.
+- Token pipelines stay JVM-side: split / explode / transform /
+  aggregate higher-order functions, never per-row Python.
+- Approximate ops (MinHash LSH, random-projection LSH) carry fixed
+  seeds — reproducible across runs, rows-only vs the oracle because
+  sketch internals are engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    group="L",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash: one shuffle on the digest
+    (fixed 32-byte key, not the full document — at 100 TB you shuffle
+    hashes, never bodies), keep the smallest doc_id per group."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+@register("dedup_near", group="L", oracle=None)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH over 3-token shingles:
+    shingle -> sparse vector (HashingTF) -> MinHash signatures ->
+    approxSimilarityJoin, which joins only colliding LSH buckets —
+    NEVER an all-pairs cross join. Fixed seed; rows-only check
+    (MinHash permutations are engine-specific). Jaccard distance
+    threshold 0.5 == similarity >= 0.5."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.withColumn("tokens", F.split("text", " "))
+    shingled = toks.withColumn(
+        "shingles",
+        F.expr(
+            "transform(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
+            " (t, i) -> concat_ws(' ', t, tokens[i+1], tokens[i+2]))"
+        ),
+    ).select("doc_id", "shingles")
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    vecs = tf.transform(shingled).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    group="L",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l
+                  FROM documents),
+    pos AS (SELECT doc_id, lang, source, unnest(l) AS w,
+                   generate_subscripts(l, 1) AS i
+            FROM toks),
+    sh AS (
+      SELECT DISTINCT p1.doc_id, p1.lang, p1.source,
+             p1.w || ' ' || p2.w || ' ' || p3.w AS shingle
+      FROM pos p1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+      JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.i = p1.i + 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_both
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.12
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram-shingle Jaccard near-dup pairs, blocked by
+    (lang, source) so candidate generation is per-block linear-ish —
+    the exact counterpart of dedup_near's approximate LSH. The join is
+    shingle-equality (set intersection as a groupBy), never all-pairs:
+    docs sharing zero shingles never meet."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    sh = (
+        d.withColumn("tokens", F.split("text", " "))
+        .withColumn(
+            "shingle",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(slice(tokens, 1, size(tokens)-2),"
+                    " (t, i) -> concat_ws(' ', t, tokens[i+1], tokens[i+2])))"
+                )
+            ),
+        )
+        .select("doc_id", "lang", "source", "shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("both").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("both")
+    )
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.12)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenize",
+    group="L",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization with total/distinct token counts — all
+    JVM-side array functions, zero Python in the row path."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@register(
+    "text_ngrams",
+    group="L",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+            FROM toks)
+    SELECT p1.w || ' ' || p2.w AS bigram, COUNT(*) AS n
+    FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    GROUP BY 1
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts via the indexed-lambda ``transform`` HOF —
+    the bigram array is built inside codegen per row (no self-join, no
+    window), then one explode + count shuffle."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' '))-1),"
+        " (t, i) -> concat_ws(' ', t, split(text, ' ')[i+1]))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_stats",
+    group="L",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus statistics — the partition-level audit
+    a training-data pipeline runs before mixing sources."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tfidf",
+    group="L",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.w AS term,
+           ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf, df, n WHERE tf.w = df.w AND df.df < (SELECT n FROM n)
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf weights: two aggregations (term frequency per doc,
+    document frequency per term) joined back — df and N are tiny
+    (vocabulary-sized / scalar) so both joins broadcast; the only big
+    shuffle is the tf groupBy. Terms present in every document carry
+    idf=0 and are dropped on both sides."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(n))
+        .filter(F.col("df") < F.col("n"))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+_COSINE_SQL_CTE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+       AND b.vec_id - a.vec_id <= 20
+    ),
+    un AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+    dots AS (
+      SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM un GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+    FROM dots
+"""
+
+
+def _cosine(a: str, b: str):
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.expr(_DOT.format(a=a, b=a))
+    nb = F.expr(_DOT.format(a=b, b=b))
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+@register("sim_cosine_pairs", group="L", oracle=_COSINE_SQL_CTE)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine similarity over label-blocked, id-banded pairs.
+
+    The candidate set is bounded TWICE before any arithmetic: equal
+    ``label`` (block) and ``vec_id`` within 20 (band) — output is
+    O(20n), never O(n^2); the equi-join on label is an ordinary hash
+    join. Dot products run in the JVM via zip_with/aggregate HOFs over
+    the float arrays; rounded to 4dp so cross-engine double summation
+    order can't flip the hash."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") - F.col("id_a") <= 20),
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(_cosine("ea", "eb"), 4).alias("cosine")
+    )
+
+
+_KNN_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS ea, c.embedding AS eb
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    un AS (SELECT query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
+           FROM pairs),
+    dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM un GROUP BY query_id, neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, dot / (SQRT(na) * SQRT(nb)) AS cos
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("sim_knn_topk", group="L", oracle=_KNN_SQL)
+def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k nearest neighbors for a SMALL query set
+    (1% of vectors) against the full corpus: broadcast the query side,
+    so the 'cross' join is a broadcast nested loop that scans the
+    corpus ONCE with no shuffle of the big side; per-query top-5 via
+    WindowGroupLimit (rank <= 5 is pushed into the sort). This is the
+    correct brute-force posture at scale — the unbounded variant
+    (corpus x corpus) is never acceptable; for that, see sim_ann_lsh.
+    Ranking uses full-precision cosine; only ranks are output, so the
+    hash is float-free."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", _cosine("ea", "eb").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register("sim_ann_lsh", group="L", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH
+    (BucketedRandomProjectionLSH, fixed seed): vectors land in hash
+    buckets; approxSimilarityJoin joins ONLY bucket collisions — the
+    scale path when the query side is not small. rows-only: projection
+    directions are engine-internal randomness (seeded, so stable
+    within Spark)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(e)
+    pairs = model.approxSimilarityJoin(q, e, 3.0, distCol="euclid_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.round("euclid_dist", 4).alias("euclid_dist"),
+        )
+    )

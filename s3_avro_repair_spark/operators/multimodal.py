@@ -1,1 +1,133 @@
-"""stub — filled in later this round."""
+"""L group (multimodal) — opaque-binary column handling.
+
+Real multimodal pipelines carry image/audio/video as ``binary`` columns
+with typed metadata and decode/resize/frame-sample inside Arrow-batched
+Python (the only sane place for codec libraries on a cluster). The
+image/audio libraries are not in this container, so the DECODE step is
+a deterministic stand-in (hash/length features) — but every Spark-side
+piece is real and oracle-checked: binary column schema, mapInPandas
+batch iteration, frame-window arithmetic, struct packing, join layout.
+A production decoder swaps one pandas function, nothing else moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+
+@register(
+    "multimodal_join",
+    group="L",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           len(e.embedding) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding modality join with struct packing: the payload
+    travels as one struct column (the layout multimodal training rows
+    use), flattened for the hash compare. Equi-join on the shared id —
+    plain shuffled hash join, or exchange-free if both modalities were
+    written bucketed by id (sources/scans.py::sink_bucketed)."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    packed = d.join(e, d.doc_id == e.vec_id).select(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("n_chars"),
+            F.col("label"),
+            F.size("embedding").alias("dim"),
+        ).alias("sample")
+    )
+    return packed.select("sample.*")
+
+
+@register(
+    "mm_decode",
+    group="L",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-modality decode plumbing: text bytes stand in for an
+    encoded image/audio blob (fixtures ship no real media). The blob
+    column is genuine ``binary``; feature extraction runs in
+    mapInPandas over Arrow batches — the exact shape a real decoder
+    (PIL/librosa/ffmpeg) plugs into. The stand-in features (byte
+    length, md5) are deterministic, so this plumbing IS hash-checked
+    against SQL on both engines."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["blob"].map(len).astype("int64"),
+                    "content_md5": pdf["blob"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        decode, schema="doc_id long, n_bytes long, content_md5 string"
+    )
+
+
+@register(
+    "mm_frame_sample",
+    group="L",
+    oracle="""
+    SELECT doc_id, i AS frame_no,
+           md5(substring(text, 1 + i * 16, 16)) AS frame_md5
+    FROM documents, generate_series(0, 2) AS g(i)
+    WHERE octet_length(encode(text)) >= (i + 1) * 16
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for a video-like blob: cut fixed-stride
+    windows ("frames") out of the byte stream inside mapInPandas and
+    fingerprint each. One input row fans out to N frame rows — the
+    iterator-of-batches contract handles the fan-out without
+    materializing a partition. Fixture text is pure ASCII so byte and
+    char offsets agree with the SQL oracle."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    frame, nframes = 16, 3
+
+    def sample(batches):
+        for pdf in batches:
+            ids, frames, digests = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                for i in range(nframes):
+                    chunk = raw[i * frame : (i + 1) * frame]
+                    if len(chunk) < frame:
+                        break
+                    ids.append(doc_id)
+                    frames.append(i)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frames, "frame_md5": digests}
+            )
+
+    return d.mapInPandas(
+        sample, schema="doc_id long, frame_no int, frame_md5 string"
+    )

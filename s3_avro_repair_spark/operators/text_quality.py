@@ -1,0 +1,227 @@
+"""X group — extra training-data text operators beyond SURVEY §2B:
+language-ID, quality scoring, tokenizer-style counting, document
+fingerprinting, SimHash near-dup candidates. These are the text-side
+primitives a 100 TB pretraining pipeline runs on every document, so
+each is built as a single scan with JVM-side expressions (the SimHash
+sketch being the one deliberate Pandas-UDF exception).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..plans.registry import register
+from ..tables import table
+
+# Marker tokens per language for the n-gram-heuristic language id.
+# The fixture vocabulary is synthetic word soup, so the markers are
+# engine-agnostic tokens — the POINT is the deterministic scoring
+# cascade, which is exactly how a real stopword-profile lang-id works.
+_MARKERS = {
+    "en": ("the", "fast", "slow"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "pas"),
+    "es": ("el", "y", "no"),
+    "zh": ("zh0", "zh1", "zh2"),
+}
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{w}'))" for w in words
+    )
+
+
+_LANG_ORACLE = (
+    "SELECT doc_id, CASE "
+    + " ".join(
+        f"WHEN ({_hits_sql(ws)}) >= 3 THEN '{lang}'"
+        for lang, ws in _MARKERS.items()
+    )
+    + " ELSE 'und' END AS lang_guess FROM documents"
+)
+
+
+@register("text_lang_id", group="X", oracle=_LANG_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: count marker-token hits per
+    language, first profile over threshold wins (deterministic cascade,
+    no floats). One scan, all filter/size HOFs in codegen."""
+    toks = F.split("text", " ")
+
+    def hits(words: tuple[str, ...]):
+        h = None
+        for w in words:
+            c = F.size(F.filter(toks, lambda t: t == F.lit(w)))  # noqa: B023
+            h = c if h is None else h + c
+        return h
+
+    guess = F.lit("und")
+    for lang, ws in reversed(list(_MARKERS.items())):
+        guess = F.when(hits(ws) >= 3, F.lit(lang)).otherwise(guess)
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", guess.alias("lang_guess"))
+
+
+@register(
+    "text_quality",
+    group="X",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+             AS chars_per_token,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS ttr,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 90
+                 AND len(list_distinct(string_split(text, ' ')))
+                     >= 0.25 * len(string_split(text, ' '))
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + type-token ratio ->
+    keep/drop verdict (the filter stage of a pretraining data pipeline,
+    per-document, embarrassingly parallel)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.col("n_chars").cast("double") / n_tok, 4).alias("chars_per_token"),
+        F.round(n_dis.cast("double") / n_tok, 4).alias("ttr"),
+        F.when(
+            n_tok.between(20, 90) & (n_dis >= 0.25 * n_tok), "keep"
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "text_token_count",
+    group="X",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_subtokens,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting: a BPE-ish regex (letter runs / digit
+    runs as separate subtokens) vs plain whitespace words — the number
+    every token-budgeted pipeline needs per document. regexp runs in
+    the JVM; the same pattern drives both engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "n_subtokens"
+        ),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    group="X",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set — two docs with permuted/duplicated tokens
+    collide, which is the grouping key for cheap shuffle-light dedup
+    sweeps (hash travels, text doesn't)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+
+
+def simhash64(tokens) -> int:
+    """64-bit SimHash over a token iterable (md5-derived bit vectors).
+    Plain Python so tests and the Spark kernel share one definition."""
+    acc = [0] * 64
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+@register("dedup_simhash", group="X", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate buckets: compute a 64-bit SimHash per
+    document (Pandas UDF — the sketch is custom numeric code, the
+    legitimate use of the Python path), then band the hash into 4x16-bit
+    bands and group on (band_no, band_value): near-identical docs agree
+    on at least one band with high probability. Output = buckets with
+    >1 member (candidate pairs for exact re-check). rows-only: the
+    sketch has no SQL equivalent; tests/test_llm_ops.py proves planted
+    near-dups collide and distinct docs don't.
+
+    Scale: the shuffle key is 2+8 bytes per doc per band; candidates
+    are verified per-bucket — the classic linear-cost near-dup sweep.
+    """
+
+    @pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        # Mask to a signed 63-bit value: Spark longs are signed, and the
+        # banding below only needs bit equality, not the sign bit.
+        return texts.map(
+            lambda t: simhash64(t.split(" ")) & 0x7FFFFFFFFFFFFFFF
+        ).astype("int64")
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = d.select("doc_id", simhash_udf("text").alias("simhash"))
+    bands = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_no", "band.band_value")
+    return (
+        bands.groupBy("band_no", "band_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "band_no",
+            "band_value",
+            "n_docs",
+            F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("doc_ids"),
+        )
+    )
