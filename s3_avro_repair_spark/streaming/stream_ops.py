@@ -1,1 +1,364 @@
-"""stub — filled in later this round."""
+"""T group — Structured Streaming over the ``events`` fixture.
+
+Two tiers, per SURVEY §7 Phase 5:
+
+- **Windowed aggregations** (tumbling / sliding / session): registered
+  as their BATCH-equivalent DataFrame plans — the ``window()`` /
+  ``session_window()`` expressions are identical in both execution
+  modes, the driver's oracle is batch SQL, and
+  ``tests/test_streaming.py`` re-runs each as a real ``readStream``
+  with ``availableNow`` and asserts it equals the batch result.
+
+- **Genuinely stateful ops** (watermark late-drop, streaming dedup,
+  applyInPandasWithState): registered queries RUN REAL STREAMS — the
+  events fixture is split into per-microbatch parquet files (the split
+  computed by DuckDB NTILE so the oracle can name the exact same row
+  sets), processed with ``maxFilesPerTrigger=1`` + ``availableNow``
+  into a memory sink. Where the final state is order-invariant
+  (dedup counts, per-user totals) the op still carries an exact SQL
+  oracle; only the watermark op — whose output depends on arrival
+  order by design — is rows-only.
+
+Scale posture: state stores are per-key (user_id / event_id hash
+partitions), watermarks bound state size, and every windowed agg does
+partial aggregation per microbatch before the state shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.registry import register
+from ..tables import table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CACHE_ROOT = os.path.join(_REPO_ROOT, ".avro_cache")
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+# The NTILE(10) split (ORDER BY ts, event_id) that defines microbatches:
+#   f0 = tiles 1-7 (oldest 70%)  -> batch 1
+#   f1 = tile 10   (newest 10%)  -> batch 2 (advances the watermark)
+#   f2 = tiles 8-9 (now LATE)    -> batch 3 (behind the watermark)
+_TILE_SQL = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props, NTILE(10) OVER (ORDER BY ts, event_id) AS tile "
+    "FROM read_parquet('{src}')"
+)
+
+
+def ensure_stream_dirs(sf_dir: str) -> str:
+    """Build (once, cached) the microbatch file layouts:
+
+    - ``state/`` f0,f1,f2 — every event exactly once
+    - ``wm/``    f0,f1,f2 — same files; batch order makes f2 late
+    - ``dedup/`` f0,f1d   — f1d carries 50 duplicated tile-10 rows
+
+    Written via DuckDB so the registered oracles can reproduce the
+    exact row sets with the same NTILE semantics. File mtimes are
+    staggered because the file stream source orders by mtime.
+    """
+    import duckdb
+
+    root = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_stream"
+    )
+    if os.path.isdir(root):
+        return root
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = root + f".tmp-{os.getpid()}"
+    os.makedirs(tmp)
+    try:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TEMP TABLE t AS "
+            + _TILE_SQL.format(src=f"{sf_dir}/events.parquet")
+        )
+        cols = "event_id, ts, user_id, event_type, value, props"
+        parts = {
+            "f0.parquet": f"SELECT {cols} FROM t WHERE tile <= 7",
+            "f1.parquet": f"SELECT {cols} FROM t WHERE tile = 10",
+            "f1d.parquet": (
+                f"SELECT {cols} FROM t WHERE tile = 10 "
+                f"UNION ALL SELECT {cols} FROM "
+                "(SELECT * FROM t WHERE tile = 10 ORDER BY event_id LIMIT 50)"
+            ),
+            "f2.parquet": f"SELECT {cols} FROM t WHERE tile IN (8, 9)",
+        }
+        for fname, sql in parts.items():
+            con.execute(
+                f"COPY ({sql}) TO '{os.path.join(tmp, fname)}' (FORMAT PARQUET)"
+            )
+        layouts = {
+            "state": [("f0.parquet", "f0"), ("f1.parquet", "f1"), ("f2.parquet", "f2")],
+            "wm": [("f0.parquet", "f0"), ("f1.parquet", "f1"), ("f2.parquet", "f2")],
+            "dedup": [("f0.parquet", "f0"), ("f1d.parquet", "f1")],
+        }
+        base_mtime = 1_700_000_000
+        for sub, files in layouts.items():
+            d = os.path.join(tmp, sub)
+            os.makedirs(d)
+            for i, (src, dst) in enumerate(files):
+                p = os.path.join(d, f"{dst}.parquet")
+                shutil.copy(os.path.join(tmp, src), p)
+                os.utime(p, (base_mtime + i * 60, base_mtime + i * 60))
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            pass
+        return root
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(sdf_writer_builder, name: str) -> None:
+    q = sdf_writer_builder.queryName(name).format("memory").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+
+
+def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations (batch-equivalent plans; streamed in tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling",
+    group="T",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS start_epoch,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling windows per event type. The identical
+    ``window()`` expression runs streaming (tests/test_streaming.py);
+    in both modes Spark partial-aggregates within the microbatch/task
+    before shuffling window keys."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    group="T",
+    oracle="""
+    WITH s AS (SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS a
+               FROM events)
+    SELECT a - k.k * 21600 AS start_epoch, COUNT(*) AS n
+    FROM s, (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6h: each event lands in exactly 4
+    windows (epoch-aligned, same arithmetic the oracle spells out)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("start_epoch"), "n")
+    )
+
+
+@register(
+    "stream_session",
+    group="T",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM o
+    )
+    SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute gap. The batch oracle
+    is the classic gap-islands rewrite (lag + running sum of breaks) —
+    semantically identical to ``session_window`` merging."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# genuinely stateful streams (real readStream in the registered op)
+# ---------------------------------------------------------------------------
+
+
+_WM_ORACLE = """
+    WITH w AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                 AS start_epoch, COUNT(*) AS n
+               FROM events GROUP BY 1),
+    g AS (SELECT epoch(MAX(ts)) - 3600 AS wm FROM events)
+    SELECT start_epoch, n FROM w, g WHERE start_epoch + 86400 <= wm
+"""
+
+
+@register("stream_watermark_late", group="T", oracle=_WM_ORACLE)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, FOR REAL, across three microbatches
+    (oldest 70% -> newest 10% -> middle 20%, the last batch arriving
+    behind the watermark).
+
+    Measured engine behavior (Spark 4.1, pinned by
+    tests/test_streaming.py): the watermark is a STATE-EVICTION bound,
+    not a guaranteed input filter — the spec only promises late data
+    "may" be dropped, and here late rows re-create evicted window
+    state, so they still count. The deterministic, oracle-checkable
+    observable is append-mode window CLOSING: every window is emitted
+    exactly once, only after the watermark (max event time - 1h)
+    passes its end — so the final still-open day window is withheld
+    from the sink. The oracle encodes exactly that: all day-windows
+    except those the final watermark hasn't closed. The layout
+    guarantees single emission: no late file touches a window that an
+    earlier batch's watermark already closed."""
+    root = ensure_stream_dirs(sf_dir)
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    counts = (
+        _read_stream(spark, os.path.join(root, "wm"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("start_epoch"), "n")
+    )
+    _run_stream(counts.writeStream.outputMode("append"), name)
+    return spark.table(name)
+
+
+_DEDUP_ORACLE = """
+    WITH t AS (SELECT event_type,
+                      NTILE(10) OVER (ORDER BY ts, event_id) AS tile
+               FROM events)
+    SELECT event_type, COUNT(*) AS n
+    FROM t WHERE tile <= 7 OR tile = 10 GROUP BY 1
+"""
+
+
+@register("stream_dedup", group="T", oracle=_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark
+    (``dropDuplicatesWithinWatermark``): batch 2 re-delivers 50 rows;
+    the state store drops every duplicate. The surviving multiset is
+    arrival-order-INVARIANT, so this streaming op still hash-checks
+    against exact SQL (the NTILE split the stream files were built
+    from)."""
+    root = ensure_stream_dirs(sf_dir)
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _read_stream(spark, os.path.join(root, "dedup"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run_stream(deduped.writeStream.outputMode("append"), name)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stream_stateful_agg",
+    group="T",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, first_ts, last_ts) state carried ACROSS three
+    microbatches, a version row emitted per update; the final version
+    per user (max count / min first / max last — all order-invariant)
+    must equal the batch aggregate, so even this op is hash-checked.
+    This is the applyInPandasWithState pattern SURVEY §2B-T mandates
+    for PySpark (mapGroupsWithState is JVM-only)."""
+    root = ensure_stream_dirs(sf_dir)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+
+    def track(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, first, last = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            ms = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            n += len(pdf)
+            first = int(ms.min()) if first is None else min(first, int(ms.min()))
+            last = int(ms.max()) if last is None else max(last, int(ms.max()))
+        state.update((n, first, last))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "first_ms": [first], "last_ms": [last]}
+        )
+
+    versions = (
+        _read_stream(spark, os.path.join(root, "state"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, first_ms long, last_ms long",
+            stateStructType="n long, first long, last long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_stream(versions.writeStream.outputMode("update"), name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_ms").alias("first_ms"),
+            F.max("last_ms").alias("last_ms"),
+        )
+    )

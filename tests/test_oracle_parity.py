@@ -42,4 +42,11 @@ def test_contract_shape():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 50
+    # Full SURVEY §2B surface (83 keys) + the X-group extras.
+    assert len(qs) >= 92
+    # rows-only ops are the enumerated exceptions, nothing silently more
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "agg_approx_distinct", "scan_sample", "dedup_near",
+        "sim_ann_lsh", "dedup_simhash",
+    }

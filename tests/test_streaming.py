@@ -1,0 +1,145 @@
+"""Structured Streaming tests for the T group: the windowed ops run as
+REAL streams (availableNow, one file per microbatch) and must equal
+their registered batch plans; the watermark op's late-drop set is
+pinned exactly."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s3_avro_repair_spark.plans.registry import load_all
+from s3_avro_repair_spark.streaming.stream_ops import (
+    EVENTS_STREAM_SCHEMA,
+    _TILE_SQL,
+    ensure_stream_dirs,
+)
+
+_OPS = load_all()
+
+
+def _stream_to_memory(df_writer, name):
+    q = df_writer.queryName(name).format("memory").trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def _sorted_records(pdf: pd.DataFrame):
+    pdf = pdf[sorted(pdf.columns)]
+    return sorted(map(tuple, pdf.astype(str).itertuples(index=False)))
+
+
+@pytest.fixture(scope="module")
+def stream_root(sf_dir):
+    return ensure_stream_dirs(sf_dir)
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, stream_root):
+    batch = _OPS["stream_tumbling"].fn(spark, sf_dir).toPandas()
+    name = f"tt_{uuid.uuid4().hex[:8]}"
+    streamed = (
+        _read_stream(spark, os.path.join(stream_root, "state"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+    _stream_to_memory(streamed.writeStream.outputMode("complete"), name)
+    got = spark.table(name).toPandas()
+    assert _sorted_records(got) == _sorted_records(batch)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, stream_root):
+    batch = _OPS["stream_sliding"].fn(spark, sf_dir).toPandas()
+    name = f"ts_{uuid.uuid4().hex[:8]}"
+    streamed = (
+        _read_stream(spark, os.path.join(stream_root, "state"))
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("start_epoch"), "n")
+    )
+    _stream_to_memory(streamed.writeStream.outputMode("complete"), name)
+    got = spark.table(name).toPandas()
+    assert _sorted_records(got) == _sorted_records(batch)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, stream_root):
+    batch = _OPS["stream_session"].fn(spark, sf_dir).toPandas()
+    name = f"tn_{uuid.uuid4().hex[:8]}"
+    streamed = (
+        _read_stream(spark, os.path.join(stream_root, "state"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    _stream_to_memory(streamed.writeStream.outputMode("complete"), name)
+    got = spark.table(name).toPandas()
+    assert _sorted_records(got) == _sorted_records(batch)
+
+
+def test_watermark_closes_windows_exactly_once(spark, sf_dir):
+    """Pins the measured Spark 4.1 watermark semantics the op's
+    docstring claims: (a) append mode emits each day-window EXACTLY
+    once, (b) only windows closed by the final watermark appear —
+    the last open window is withheld, (c) late batch-3 rows are NOT
+    dropped (state re-created; watermark is an eviction bound), so
+    emitted counts equal the full per-day counts."""
+    out = _OPS["stream_watermark_late"].fn(spark, sf_dir).toPandas()
+    assert out.start_epoch.is_unique  # exactly-once emission per window
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE t AS " + _TILE_SQL.format(src=f"{sf_dir}/events.parquet")
+    )
+    full = con.execute(
+        """
+        WITH gmax AS (SELECT epoch(MAX(ts)) - 3600 AS wm FROM t)
+        SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS start_epoch,
+               COUNT(*) AS n
+        FROM t GROUP BY 1
+        """
+    ).fetchdf()
+    wm = con.execute("SELECT epoch(MAX(ts)) - 3600 AS wm FROM t").fetchone()[0]
+    closed = full[full.start_epoch + 86400 <= wm]
+    withheld = full[full.start_epoch + 86400 > wm]
+    assert len(withheld) >= 1  # the final open window really is held back
+    assert _sorted_records(out) == _sorted_records(closed)
+
+
+def test_streaming_dedup_leaves_no_duplicate_ids(spark, sf_dir, stream_root):
+    """The dedup source re-delivers 50 event_ids; after
+    dropDuplicatesWithinWatermark the id multiset must be a set."""
+    name = f"td_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _read_stream(spark, os.path.join(stream_root, "dedup"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _stream_to_memory(deduped.writeStream.outputMode("append"), name)
+    got = spark.table(name).toPandas()
+    assert got.event_id.is_unique
+    # and the source REALLY contained duplicates
+    raw = pd.read_parquet(os.path.join(stream_root, "dedup", "f1.parquet"))
+    assert not raw.event_id.is_unique
+    # survivors = every distinct id in the source
+    src0 = pd.read_parquet(os.path.join(stream_root, "dedup", "f0.parquet"))
+    assert set(got.event_id) == set(src0.event_id) | set(raw.event_id)
