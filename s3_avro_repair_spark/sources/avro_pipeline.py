@@ -198,17 +198,33 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _binary_files(spark: SparkSession, path: str) -> DataFrame:
-    return (
+def _binary_files(
+    spark: SparkSession, path: str, n_tasks: int | None = None
+) -> DataFrame:
+    """binaryFile scan, optionally spread over ``n_tasks`` partitions.
+
+    The file source packs small files into 128MB partitions
+    (``spark.sql.files.maxPartitionBytes``), which serializes the
+    Python decode of a small fixture set into one task. An explicit
+    ``repartition(n)`` (exempt from AQE coalescing) restores
+    one-task-per-file parallelism. At 100 TB you do NOT shuffle file
+    bytes — you raise ``spark.sql.files.openCostInBytes`` so the
+    packing itself yields ~one file per task.
+    """
+    df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
         .option("recursiveFileLookup", "true")
         .load(path)
     )
+    if n_tasks:
+        df = df.repartition(n_tasks, "path")
+    return df
 
 
 def read_avro_dir(
-    spark: SparkSession, path: str, schema: dict, spark_schema: str
+    spark: SparkSession, path: str, schema: dict, spark_schema: str,
+    n_tasks: int | None = None,
 ) -> DataFrame:
     """Strict distributed Avro scan: binaryFile -> mapInPandas decode,
     one file per row, corruption fails the task (scan semantics; use
@@ -228,7 +244,7 @@ def read_avro_dir(
                     yield out
         yield pd.DataFrame({n: [] for n in out_names})
 
-    return _binary_files(spark, path).select("content").mapInPandas(
+    return _binary_files(spark, path, n_tasks).select("content").mapInPandas(
         decode, schema=spark_schema
     )
 
@@ -308,7 +324,8 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact including the timestamp-micros logical type."""
     root = ensure_avro_fixtures(sf_dir)
     return read_avro_dir(
-        spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA
+        spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA,
+        n_tasks=N_FILES,
     )
 
 
@@ -327,7 +344,7 @@ def avro_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried by the PATH, not the file bytes — pruning a year touches
     zero bytes of the other years' objects."""
     root = ensure_avro_fixtures(sf_dir)
-    bf = _binary_files(spark, os.path.join(root, "partitioned"))
+    bf = _binary_files(spark, os.path.join(root, "partitioned"), n_tasks=8)
     year = F.regexp_extract(F.col("path"), r"year=(\d+)", 1).alias("year")
 
     def count_records(batches):
@@ -355,7 +372,7 @@ def avro_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is one parallel task per file). The oracle pins the exact
     deterministic outcome of the injected corruption."""
     root = ensure_avro_fixtures(sf_dir)
-    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+    bf = _binary_files(spark, os.path.join(root, "corrupt"), n_tasks=N_FILES)
 
     def validate(batches):
         for pdf in batches:
@@ -384,7 +401,7 @@ def avro_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     header is unrepairable (-1). Failures never abort the run —
     contrast the reference's whole-run try/catch (:72-74)."""
     root = ensure_avro_fixtures(sf_dir)
-    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+    bf = _binary_files(spark, os.path.join(root, "corrupt"), n_tasks=N_FILES)
     return bf.select("path", "content").mapInPandas(
         _salvage_report, schema="file string, status string, lost_blocks int"
     )
@@ -417,7 +434,7 @@ def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate"),
     )
     write_avro_dir(o, out, ORDERS_SCHEMA, codec="deflate")
-    back = read_avro_dir(spark, out, ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA)
+    back = read_avro_dir(spark, out, ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA, n_tasks=16)
     return back.agg(
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "sum_price"),
@@ -439,7 +456,7 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repair-avro.ts:58,64 + progress bar): outcome -> file count, as a
     queryable DataFrame. Composes avro_repair's per-file report."""
     root = ensure_avro_fixtures(sf_dir)
-    bf = _binary_files(spark, os.path.join(root, "corrupt"))
+    bf = _binary_files(spark, os.path.join(root, "corrupt"), n_tasks=N_FILES)
     per_file = bf.select("path", "content").mapInPandas(
         _salvage_report, schema="file string, status string, lost_blocks int"
     )
