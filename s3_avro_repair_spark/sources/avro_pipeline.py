@@ -140,7 +140,9 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
       injured (truncate mid-block / byte flips / clobbered sync /
       damaged header), the rest byte-identical to clean
     """
-    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    # v2: bump when fixture layout / injection code changes so stale
+    # cached trees from earlier rounds can never leak into results.
+    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v2")
     if os.path.isdir(root):
         return root
     os.makedirs(_CACHE_ROOT, exist_ok=True)

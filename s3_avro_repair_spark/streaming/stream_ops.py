@@ -14,10 +14,10 @@ Two tiers, per SURVEY §7 Phase 5:
   events fixture is split into per-microbatch parquet files (the split
   computed by DuckDB NTILE so the oracle can name the exact same row
   sets), processed with ``maxFilesPerTrigger=1`` + ``availableNow``
-  into a memory sink. Where the final state is order-invariant
-  (dedup counts, per-user totals) the op still carries an exact SQL
-  oracle; only the watermark op — whose output depends on arrival
-  order by design — is rows-only.
+  into a memory sink. All three still carry exact SQL oracles: dedup
+  counts and per-user state totals are arrival-order-invariant, and the
+  watermark op's deterministic observable (append-mode window closing)
+  is encoded directly in its oracle.
 
 Scale posture: state stores are per-key (user_id / event_id hash
 partitions), watermarks bound state size, and every windowed agg does
@@ -71,7 +71,7 @@ def ensure_stream_dirs(sf_dir: str) -> str:
     import duckdb
 
     root = os.path.join(
-        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_stream"
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_stream_v2"
     )
     if os.path.isdir(root):
         return root
