@@ -113,6 +113,36 @@ def test_strict_read_rejects_every_injury(data):
             read_ocf(injure(data))
 
 
+def test_sampled_validate_catches_structural_injuries(data):
+    """The systematic sample decodes ~1% of payloads but walks every
+    block structurally — all four injury classes are still flagged,
+    and a clean file passes while decoding only block 0."""
+    from s3_avro_repair_spark.avro_codec import sampled_validate
+
+    healthy, checked, err = sampled_validate(data)
+    assert healthy and err == ""
+    assert checked == BLOCK  # only block 0 of 10 payload-decoded
+    for injure in (inject_truncate, inject_flip, inject_bad_sync, inject_bad_header):
+        ok, _, err = sampled_validate(injure(data))
+        assert not ok and err, injure.__name__
+
+
+def test_sampled_validate_misses_unsampled_payload_damage(data):
+    """Document the reference's accepted blind spot: payload-only
+    damage in an UNSAMPLED block (here block 5) passes the sampled
+    check but fails the strict one."""
+    from s3_avro_repair_spark.avro_codec import sampled_validate
+
+    spans = block_spans(data)
+    _, payload_start, size, _ = spans[5]
+    b = bytearray(data)
+    b[payload_start + size - 16 : payload_start + size] = b"\xff" * 16
+    ok, _, _ = sampled_validate(bytes(b))
+    assert ok  # sampled: missed
+    with pytest.raises(CorruptBlock):
+        read_ocf(bytes(b))  # strict: caught
+
+
 def test_block_spans_cover_file(data):
     spans = block_spans(data)
     assert len(spans) == 10
