@@ -89,20 +89,54 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum with an explicit ROWS frame (exact decimal sum so
-    the prefix sums hash identically)."""
-    li = table(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
-    # quantity tiebreak makes tied rows' prefix sums a stable multiset.
-    w = (
-        Window.partitionBy("l_returnflag")
+    """Running sum via DISTRIBUTED two-phase prefix sums.
+
+    ``l_returnflag`` has 3 values, so the naive one-window plan pushes
+    a third of the table through each task — fine at fixture scale, a
+    wall at 100x. Scale-safe plan (same result, exact decimal):
+    range-partition on the full sort key, local running sums per
+    (partition, flag), then add per-(partition, flag) prefix offsets
+    computed over a tiny side table and broadcast back. Decimal
+    addition is associative, so chunked prefix sums are bit-identical
+    to the single-window oracle. (l_orderkey, l_linenumber) is NOT
+    unique in the fixtures — the quantity tiebreak makes tied rows'
+    prefix sums a stable multiset even when a range boundary splits a
+    tie."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    ranged = li.repartitionByRange(
+        16, "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(dec2("l_quantity")).over(w).cast("double").alias("running_qty"),
+    local = ranged.withColumn("local_sum", F.sum(dec2("l_quantity")).over(w_local))
+    # <= 16 x 3 rows: the prefix-offset side table is always tiny.
+    totals = local.groupBy("pid", "l_returnflag").agg(
+        F.sum(dec2("l_quantity")).alias("chunk_total")
+    )
+    w_prefix = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid",
+        "l_returnflag",
+        F.coalesce(
+            F.sum("chunk_total").over(w_prefix), F.lit(0).cast("decimal(28,2)")
+        ).alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("local_sum") + F.col("off")).cast("double").alias("running_qty"),
+        )
     )
 
 
