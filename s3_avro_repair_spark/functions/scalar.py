@@ -291,3 +291,51 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
+
+
+@register(
+    "fn_hash",
+    group="F",
+    oracle="""
+    SELECT p_partkey, md5(p_name) AS name_md5, sha256(p_brand) AS brand_sha256,
+           length(md5(p_type)) AS digest_len
+    FROM part
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest functions (md5 / sha2-256) — the
+    fingerprinting primitives the dedup ops build on (text_fingerprint,
+    dedup_exact). JVM-side, identical hex output in both engines."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_brand", 256).alias("brand_sha256"),
+        F.length(F.md5("p_type")).alias("digest_len"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    group="F",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 1 AS set_low,
+           xor(l_orderkey, l_partkey) AS xored,
+           l_orderkey << 2 AS shifted
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift — the bit-twiddling layer under
+    dedup_simhash's banding and any hand-rolled bucketing."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("set_low"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xored"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("shifted"),
+    )

@@ -117,7 +117,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) so candidate generation is per-block linear-ish —
     the exact counterpart of dedup_near's approximate LSH. The join is
     shingle-equality (set intersection as a groupBy), never all-pairs:
-    docs sharing zero shingles never meet."""
+    docs sharing zero shingles never meet.
+
+    Scale note: a stop-shingle (one appearing in most docs of a block)
+    makes its equality join quadratic within the block. At 100x, cap
+    candidate generation by shingle document-frequency (drop high-df
+    shingles from the CANDIDATE join only, then compute exact jaccard
+    on full sets for surviving pairs) — the standard two-stage
+    exact-dedup layout."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     sh = (
         d.withColumn("tokens", F.split("text", " "))

@@ -154,7 +154,14 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-range frame: count of rows whose quantity lies within 5
-    units below the current row's quantity."""
+    units below the current row's quantity.
+
+    Scale note: partitions on 3-value l_returnflag like the oracle
+    demands. Unlike ROWS frames (see window_running's two-phase
+    rewrite), a RANGE frame's window can straddle a chunk boundary by
+    VALUE, so the distributed form needs per-chunk value histograms
+    broadcast to neighbors — at 100x, pre-bucket by quantity range so
+    each task owns a closed value interval plus a 5-unit halo."""
     li = table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_returnflag")
