@@ -476,6 +476,124 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
     return res.schema, res.records
 
 
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec §Schema Resolution): reader-schema reads
+# ---------------------------------------------------------------------------
+
+# writer type -> allowed reader promotions (spec table)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+class SchemaResolutionError(ValueError):
+    """Writer and reader schemas cannot be matched per the spec."""
+
+
+def decode_resolved(writer, reader, buf: bytes, pos: int):
+    """Decode bytes written with ``writer`` as the ``reader`` schema —
+    the Avro schema-evolution read (spec §Schema Resolution):
+
+    - record fields matched BY NAME: writer-only fields are skipped
+      (their bytes decoded and discarded), reader-only fields take
+      their declared ``default``;
+    - primitive promotions int->long/float/double, long->float/double,
+      float->double, string<->bytes;
+    - writer unions resolve their tagged branch against the reader
+      type; reader unions accept the writer type via first matching
+      branch.
+
+    This is what lets a 100 TB scan apply TODAY'S schema to years of
+    heterogeneously-written files in one pass.
+    """
+    wt, rt = _schema_type(writer), _schema_type(reader)
+    if wt == "union":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(writer):
+            raise CorruptBlock(f"union index {idx} out of range")
+        return decode_resolved(writer[idx], reader, buf, pos)
+    if rt == "union":
+        for branch in reader:
+            try:
+                return decode_resolved(writer, branch, buf, pos)
+            except SchemaResolutionError:
+                continue
+        raise SchemaResolutionError(f"writer {wt} matches no reader union branch")
+    if wt == "record" and rt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        rnames = {f["name"] for f in reader["fields"]}
+        rec = {}
+        # writer order governs the byte stream
+        for wf in writer["fields"]:
+            if wf["name"] in rnames:
+                rf = next(f for f in reader["fields"] if f["name"] == wf["name"])
+                rec[wf["name"]], pos = decode_resolved(
+                    wf["type"], rf["type"], buf, pos
+                )
+            else:  # skipped: decode with the writer schema, discard
+                _, pos = decode_value(wf["type"], buf, pos)
+        for rf in reader["fields"]:
+            if rf["name"] not in wfields:
+                if "default" not in rf:
+                    raise SchemaResolutionError(
+                        f"reader field {rf['name']} missing and has no default"
+                    )
+                rec[rf["name"]] = rf["default"]
+        return rec, pos
+    if wt == "array" and rt == "array":
+        items = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                item, pos = decode_resolved(writer["items"], reader["items"], buf, pos)
+                items.append(item)
+    if wt == rt or rt in _PROMOTIONS.get(wt, ()):  # identity or promotion
+        val, pos = decode_value(writer, buf, pos)
+        if rt in ("float", "double") and wt in ("int", "long"):
+            val = float(val)
+        elif rt == "long" and wt == "int":
+            val = int(val)
+        elif rt == "string" and wt == "bytes":
+            val = val.decode("utf-8")
+        elif rt == "bytes" and wt == "string":
+            val = val.encode("utf-8")
+        return val, pos
+    raise SchemaResolutionError(f"cannot read writer {wt} as reader {rt}")
+
+
+def read_ocf_resolved(data: bytes, reader_schema) -> list:
+    """Strict full read applying a reader schema (schema evolution)."""
+    writer, codec, sync, pos = read_header(data)
+    records = []
+    n = len(data)
+    while pos < n:
+        count, p = _read_long(data, pos)
+        size, p = _read_long(data, p)
+        if count < 0 or size < 0 or p + size + SYNC_SIZE > n:
+            raise CorruptBlock("bad block structure")
+        if data[p + size : p + size + SYNC_SIZE] != sync:
+            raise CorruptBlock("sync marker mismatch")
+        payload = _decompress(data[p : p + size], codec)
+        bpos = 0
+        for _ in range(count):
+            rec, bpos = decode_resolved(writer, reader_schema, payload, bpos)
+            records.append(rec)
+        if bpos != len(payload):
+            raise CorruptBlock("trailing bytes in block")
+        pos = p + size + SYNC_SIZE
+    return records
+
+
 def sampled_validate(
     data: bytes, decode_every: int = 100, limit: int = 1_000_000
 ) -> tuple[bool, int, str]:

@@ -493,3 +493,52 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _salvage_report, schema="file string, status string, lost_blocks int"
     )
     return per_file.groupBy("status").agg(F.count(F.lit(1)).alias("n_files"))
+
+
+EVOLVED_READER_SCHEMA = {
+    "type": "record",
+    "name": "order",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        # promotion: writer double -> reader double (identity) kept;
+        # o_custkey/o_orderstatus/o_orderdate are SKIPPED (writer-only)
+        {"name": "o_totalprice", "type": "double"},
+        # reader-only field filled from its default
+        {"name": "region", "type": "string", "default": "UNKNOWN"},
+    ],
+}
+
+
+@register(
+    "avro_scan_evolved",
+    group="E",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'UNKNOWN' AS region FROM orders
+    """,
+)
+def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: the files were written with the full
+    5-field writer schema; this scan reads them under TODAY'S reader
+    schema (avro_codec.decode_resolved, Avro spec §Schema Resolution):
+    writer-only fields are skipped byte-exactly, the reader-only
+    ``region`` field takes its declared default. This is the read path
+    that lets one 100 TB pass apply a current schema to years of
+    heterogeneously-written objects — a capability the reference
+    inherits from avro-tools and we implement in-codec."""
+    from ..avro_codec import read_ocf_resolved
+
+    root = ensure_avro_fixtures(sf_dir)
+    names = [f["name"] for f in EVOLVED_READER_SCHEMA["fields"]]
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = read_ocf_resolved(bytes(content), EVOLVED_READER_SCHEMA)
+                if recs:
+                    yield pd.DataFrame(recs, columns=names)
+        yield pd.DataFrame({n: [] for n in names})
+
+    bf = _binary_files(spark, os.path.join(root, "clean"), n_tasks=N_FILES)
+    return bf.select("content").mapInPandas(
+        decode, schema="o_orderkey long, o_totalprice double, region string"
+    )

@@ -191,3 +191,65 @@ def test_writer_streams_blocks():
     assert n == len(RECS)
     _, back = read_ocf(bio.getvalue())
     assert back == RECS
+
+
+def test_schema_resolution_skip_default_promote():
+    """Reader-schema decode: field skipping, defaults, and the full
+    promotion lattice (spec §Schema Resolution)."""
+    from s3_avro_repair_spark.avro_codec import (
+        SchemaResolutionError,
+        decode_resolved,
+        read_ocf_resolved,
+        write_ocf_bytes,
+    )
+
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "skipme", "type": {"type": "array", "items": "string"}},
+            {"name": "b", "type": "float"},
+            {"name": "u", "type": ["null", "int"]},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "double"},       # int -> double promotion
+            {"name": "b", "type": "double"},       # float -> double promotion
+            {"name": "u", "type": ["null", "long"]},  # union branch promotion
+            {"name": "extra", "type": "string", "default": "dflt"},
+        ],
+    }
+    recs = [
+        {"a": i, "skipme": [f"x{i}", "y"], "b": i * 0.5, "u": None if i % 2 else i}
+        for i in range(50)
+    ]
+    data = write_ocf_bytes(writer, recs, block_records=7)
+    out = read_ocf_resolved(data, reader)
+    assert len(out) == 50
+    for i, rec in enumerate(out):
+        assert set(rec) == {"a", "b", "u", "extra"}
+        assert rec["a"] == float(i) and isinstance(rec["a"], float)
+        assert abs(rec["b"] - i * 0.5) < 1e-6
+        assert rec["u"] == (None if i % 2 else i)
+        assert rec["extra"] == "dflt"
+    # string <-> bytes promotion both ways
+    sw = {"type": "record", "name": "s", "fields": [{"name": "v", "type": "string"}]}
+    sb = {"type": "record", "name": "s", "fields": [{"name": "v", "type": "bytes"}]}
+    d = write_ocf_bytes(sw, [{"v": "héllo"}])
+    assert read_ocf_resolved(d, sb)[0]["v"] == "héllo".encode()
+    # incompatible: double writer -> int reader must refuse
+    dw = {"type": "record", "name": "d", "fields": [{"name": "v", "type": "double"}]}
+    di = {"type": "record", "name": "d", "fields": [{"name": "v", "type": "int"}]}
+    d2 = write_ocf_bytes(dw, [{"v": 1.5}])
+    with pytest.raises(SchemaResolutionError):
+        read_ocf_resolved(d2, di)
+    # missing field without default must refuse
+    nr = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "double"}, {"name": "nodefault", "type": "string"},
+    ]}
+    with pytest.raises(SchemaResolutionError):
+        read_ocf_resolved(data, nr)
