@@ -362,3 +362,40 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_ms").alias("last_ms"),
         )
     )
+
+
+@register(
+    "stream_join",
+    group="T",
+    oracle="""
+    SELECT e.event_id AS err_id, c.event_id AS clk_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join shape: every error event joined to
+    the same user's clicks in the preceding 10 minutes. Registered as
+    the batch-equivalent plan (hash-checked); tests/test_streaming.py
+    runs the REAL dual-stream version — both sides watermarked, the
+    time-range condition bounding join state so Spark can evict
+    buffered rows (without it, stream-stream join state grows without
+    bound — the 100 TB failure mode) — and asserts it equals this
+    batch result."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u1"), F.col("ts").alias("ets"),
+        F.col("event_id").alias("err_id"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("clk_id"),
+    )
+    cond = (
+        (F.col("u1") == F.col("u2"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("cts") <= F.col("ets"))
+    )
+    return err.join(clk, cond).select("err_id", "clk_id")

@@ -143,3 +143,41 @@ def test_streaming_dedup_leaves_no_duplicate_ids(spark, sf_dir, stream_root):
     # survivors = every distinct id in the source
     src0 = pd.read_parquet(os.path.join(stream_root, "dedup", "f0.parquet"))
     assert set(got.event_id) == set(src0.event_id) | set(raw.event_id)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, stream_root):
+    """REAL stream-stream join: two watermarked streams over the same
+    microbatch files, time-range condition bounding the state, append
+    output — must equal the registered batch interval join."""
+    batch = _OPS["stream_join"].fn(spark, sf_dir).toPandas()
+    path = os.path.join(stream_root, "state")
+    err = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("u1"),
+            F.col("ts").alias("ets"),
+            F.col("event_id").alias("err_id"),
+        )
+        .withWatermark("ets", "1 hour")
+    )
+    clk = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("clk_id"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    cond = (
+        (F.col("u1") == F.col("u2"))
+        & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("cts") <= F.col("ets"))
+    )
+    name = f"sj_{uuid.uuid4().hex[:8]}"
+    joined = err.join(clk, cond).select("err_id", "clk_id")
+    _stream_to_memory(joined.writeStream.outputMode("append"), name)
+    got = spark.table(name).toPandas()
+    assert _sorted_records(got) == _sorted_records(batch)
