@@ -229,3 +229,99 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
+
+
+@register(
+    "agg_pivot",
+    group="X",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows -> columns on l_linestatus with an EXPLICIT value
+    list. At scale the value list matters: without it Spark runs an
+    extra distinct pass over the data to discover the columns — always
+    pin the list when you know it. The oracle is the portable CASE
+    formulation, which is exactly what Catalyst lowers pivot to."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@register(
+    "fn_unpivot",
+    group="X",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'key_mod1000' AS metric,
+           CAST(o_orderkey % 1000 AS DOUBLE) AS value
+    FROM orders
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: columns -> rows (``DataFrame.unpivot``, the
+    inverse of agg_pivot). Narrow transformation — no shuffle at all;
+    output is ids x measures."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 1000).cast("double").alias("key_mod1000"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "key_mod1000"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "udtf_map_in_arrow",
+    group="X",
+    oracle="""
+    SELECT l_orderkey, l_quantity * 2 AS double_qty
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition transform at the RAW ARROW level (``mapInArrow``):
+    no pandas conversion at all — RecordBatch in, RecordBatch out.
+    This is the fastest Python boundary Spark offers (the pandas layer
+    of mapInPandas costs a copy each way) and the right substrate for
+    columnar libraries (pyarrow.compute, polars). Deterministic
+    filter+project, so it hash-checks against SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def double_qty(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            t = t.filter(pc.equal(t["l_linenumber"], 1))
+            out = pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "double_qty": pc.multiply(t["l_quantity"], 2.0),
+                }
+            )
+            for b in out.to_batches():
+                yield b
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.mapInArrow(double_qty, schema="l_orderkey long, double_qty double")

@@ -43,7 +43,7 @@ def test_contract_shape():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + the X-group extras.
-    assert len(qs) >= 102
+    assert len(qs) >= 105
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
