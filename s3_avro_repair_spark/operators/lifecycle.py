@@ -1,0 +1,330 @@
+"""C group — data-lifecycle / CDC operators.
+
+A 100 TB lakehouse is not just queried, it is *maintained*: change
+capture merged into base tables, dimension history tracked, duplicate
+clusters collapsed to canonical rows, reproducible samples drawn for
+train/eval splits. The reference's pipeline only ever rewrites whole
+objects in place (`/root/reference/src/services/repair-avro.ts:118-124`
+— download, repair, re-upload); these operators are the incremental
+counterparts a Spark-native engine gets from relational composition.
+
+Every op here is hash-checked against a DuckDB oracle — including the
+iterative connected-components clustering, whose oracle is a recursive
+CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+# Deterministic blocked cosine pair generation shared with
+# operators/extras.dedup_embedding_cosine (same candidate bound).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "merge_upsert",
+    group="C",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'U' AS status, o_totalprice + 10.0 AS price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 30000000 AS o_orderkey, 'N' AS status, 1.0 AS price
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(c.status, b.o_orderstatus) AS status,
+           COALESCE(c.price, b.o_totalprice) AS price
+    FROM orders b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert): a deterministic changeset — updates for every
+    100th order, inserts above the key space — merged into the base
+    table. Spark has no MERGE INTO on plain parquet, but the relational
+    core expresses it exactly: FULL OUTER join on the key, change side
+    wins via COALESCE.
+
+    100 TB posture: the change batch is normally << base, so the join
+    broadcasts the changes and the base is never shuffled; with a
+    date-partitioned base, join only the partitions the changeset
+    touches and rewrite those (partition-pruned overwrite) — the same
+    atomic-swap idea as the reference's repair re-upload
+    (repair-avro.ts:118-124) at partition rather than object grain."""
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(30000000)).alias("o_orderkey"),
+        F.lit("N").alias("status"),
+        F.lit(1.0).alias("price"),
+    )
+    changes = updates.unionByName(inserts)
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    merged = base.join(
+        F.broadcast(changes).withColumnRenamed("o_orderkey", "c_orderkey"),
+        base.o_orderkey == F.col("c_orderkey"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce(F.col("c_orderkey"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("status"), F.col("b_status")).alias("status"),
+        F.coalesce(F.col("price"), F.col("b_price")).alias("price"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    group="C",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+           LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+    FROM events
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change event stream into
+    validity intervals — each state valid from its own timestamp until
+    the user's next event (open-ended NULL for the current state). One
+    window, one shuffle on user_id; this is how a dimension's history
+    table is built incrementally from CDC feeds.
+
+    At 100 TB the stream is date-partitioned: only the trailing
+    partition's open intervals need re-closing when new events land —
+    everything older is immutable."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        from_us.alias("valid_from_us"),
+        F.lead(from_us).over(w).alias("valid_to_us"),
+    )
+
+
+@register(
+    "sample_hash_det",
+    group="C",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 sample by content hash — the reproducible
+    alternative to seeded RNG sampling (scan_sample): the same row keys
+    land in the sample on every engine, every run, every cluster size.
+    That reproducibility is what train/test splits and A/B holdouts
+    need; RNG samples shift whenever partitioning changes. Pure
+    narrow filter — no shuffle, fully pushdown-friendly (md5 is
+    whole-stage-codegen JVM)."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.filter(F.substring(F.md5(key), 1, 1) == "0").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "dedup_clusters",
+    group="C",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+       AND b.vec_id - a.vec_id <= 50
+      , LATERAL (
+          SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                 SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                 SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
+        ) d
+      WHERE d.dot / (SQRT(d.na) * SQRT(d.nb)) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components
+    over the cosine-similarity graph (same blocked candidate bound as
+    dedup_embedding_cosine), each node labeled with the minimum vec_id
+    reachable from it. Pairs alone aren't actionable for dedup — you
+    keep one canonical doc PER CLUSTER, and transitively-linked
+    near-dups (A~B, B~C, A!~C) must collapse together.
+
+    Spark plan: Pregel-style min-label propagation — each round joins
+    labels to the edge list, takes the min over (self, neighbors), and
+    ``localCheckpoint``s to truncate lineage. Rounds = graph diameter;
+    each round is one shuffle on node id. The convergence probe is a
+    scalar aggregate (labels are monotonically non-increasing, so an
+    unchanged sum IS the fixpoint) — no data ever collects to the
+    driver. At 100 TB you'd switch to the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds instead of O(diameter); the
+    per-round dataflow shape is identical to this one.
+
+    The oracle is a recursive-CTE transitive closure — DuckDB walks the
+    whole reachability relation, Spark iterates; both must agree
+    exactly on every cluster label."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
+        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") - F.col("id_a") <= 50),
+        )
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b")
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pair gen runs once, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("vec_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(20):  # >= graph diameter at any fixture scale
+        neighbor = edges.join(
+            labels, edges.dst == labels.vec_id
+        ).select(F.col("src").alias("vec_id"), "cluster_id")
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("vec_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("dedup_clusters: min-label propagation did not converge")
+    return labels
+
+
+@register(
+    "join_range_bucketed",
+    group="J",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS attributed_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type <> 'purchase'
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via TIME BUCKETING: attribute every event that falls
+    inside the 1-hour window after a purchase by the same user.
+    join_interval leans on a high-cardinality equi key and keeps the
+    range as a residual; when the equi key is skewed or low-cardinality
+    (a bot user with millions of events), that residual degenerates to
+    per-key cross-products. The bucketed plan adds time locality to
+    the join key itself: both sides are keyed on (user, hour-bucket) —
+    the interval side exploded to the (at most 2) buckets it overlaps,
+    the point side hashed to exactly 1 — so a hot user's rows spread
+    over its active time range instead of one reducer. Each qualifying
+    (purchase, event) pair meets in exactly the event's bucket, so no
+    post-join dedup is needed; the exact range predicate is re-applied
+    as a residual. This is the standard scale pattern for
+    point-in-interval joins (engine-side range-join optimizations do
+    the same binning internally)."""
+    hour_us = 3600 * 1000 * 1000
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + F.lit(hour_us)).alias("end_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr(f"start_us DIV {hour_us}"),
+                        F.expr(f"(end_us - 1) DIV {hour_us}"),
+                    )
+                )
+            ),
+        )
+    )
+    c = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("attributed_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+        F.expr(f"ts_us DIV {hour_us}").alias("bucket"),
+    )
+    return (
+        p.join(
+            c,
+            (p.p_user == c.c_user)
+            & (p.bucket == c.bucket)
+            & (c.c_ts >= p.start_us)
+            & (c.c_ts < p.end_us),
+        )
+        .select("purchase_id", "attributed_id")
+    )
