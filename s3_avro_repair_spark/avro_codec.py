@@ -402,6 +402,26 @@ def block_spans(data: bytes) -> list[tuple[int, int, int, int]]:
     return spans
 
 
+def block_stats(data: bytes) -> tuple[int, int, int]:
+    """Metadata-only container stats: (n_blocks, n_records, payload_bytes)
+    read from the block HEADERS alone — the payloads are skipped, so the
+    walk is O(#blocks), not O(#records). At 100 TB this is the cheap
+    first pass of any fleet audit: record counts and compression ratios
+    for every object without decoding a single value."""
+    _, _, _, pos = read_header(data)
+    blocks = records = payload = 0
+    while pos < len(data):
+        count, p = _read_long(data, pos)
+        size, p = _read_long(data, p)
+        if count < 0 or size < 0 or p + size + SYNC_SIZE > len(data):
+            raise CorruptBlock("bad block structure")
+        blocks += 1
+        records += count
+        payload += size
+        pos = p + size + SYNC_SIZE
+    return blocks, records, payload
+
+
 @dataclass
 class SalvageResult:
     header_ok: bool

@@ -542,3 +542,47 @@ def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.select("content").mapInPandas(
         decode, schema="o_orderkey long, o_totalprice double, region string"
     )
+
+
+@register(
+    "avro_stats",
+    group="E",
+    oracle="""
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS file_idx,
+           COUNT(*) AS n_records,
+           CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_blocks
+    FROM orders GROUP BY 1
+    """,
+)
+def avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata audit: per-file block/record counts read from
+    block HEADERS only (avro_codec.block_stats) — payloads are never
+    decoded, so the pass is O(#blocks) per object. This is the fleet
+    census the reference has no equivalent of (it can only fully decode
+    via avro-tools, repair-avro.ts:130-131): at 100 TB you run this
+    first, and only files whose stats look wrong get the expensive
+    validate/repair treatment. The oracle knows the exact layout
+    because fixture generation is deterministic: bucket = o_orderkey %
+    8, writer flushes every 100 records."""
+    import re as _re
+
+    from ..avro_codec import block_stats
+
+    root = ensure_avro_fixtures(sf_dir)
+
+    def stats(batches):
+        cols = ["file_idx", "n_records", "n_blocks"]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                nb, nr, _ = block_stats(bytes(content))
+                idx = int(_re.search(r"orders_(\d+)\.avro", path).group(1))
+                rows.append((idx, nr, nb))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        yield pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    bf = _binary_files(spark, os.path.join(root, "clean"), n_tasks=N_FILES)
+    return bf.select("path", "content").mapInPandas(
+        stats, schema="file_idx long, n_records long, n_blocks long"
+    )

@@ -174,3 +174,156 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-format text fixtures (deterministic, cached, versioned)
+# ---------------------------------------------------------------------------
+
+
+def ensure_text_fixtures(sf_dir: str) -> str:
+    """Generate (once, atomically, cached) JSONL + CSV renditions of the
+    parquet fixtures, so format-scan ops can hash-check against the
+    SAME logical table through a different physical encoding.
+
+    v1: bump the suffix whenever rendition code changes (cache
+    versioning rule — see avro_pipeline.ensure_avro_fixtures)."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .avro_pipeline import _CACHE_ROOT
+
+    root = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_text_v1"
+    )
+    if os.path.isdir(root):
+        return root
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".text_fixtures_", dir=_CACHE_ROOT)
+    try:
+        docs = (
+            pq.read_table(f"{sf_dir}/documents.parquet")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        with open(os.path.join(tmp, "documents.jsonl"), "w", encoding="utf-8") as fo:
+            for rec in docs.to_dict("records"):
+                fo.write(json.dumps(rec, ensure_ascii=False, sort_keys=True) + "\n")
+        cust = (
+            pq.read_table(f"{sf_dir}/customer.parquet")
+            .to_pandas()
+            .sort_values("c_custkey")
+        )
+        cust.to_csv(os.path.join(tmp, "customer.csv"), index=False)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            pass  # concurrent generator won; equivalent tree
+        return root
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "scan_jsonl",
+    group="S",
+    oracle="""
+    SELECT doc_id, lang, LENGTH(text) AS n_chars_read FROM documents
+    """,
+)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema — the raw-crawl input
+    format of every LLM data pipeline. The explicit schema matters at
+    scale twice over: without it Spark runs a full inference pass
+    (double read of 100 TB), and with it the JSON parser prunes unread
+    fields during tokenization (column pruning inside the codec).
+    Hash-checked against the parquet rendition of the same table, so
+    the encode/decode round-trip must be byte-faithful."""
+    root = ensure_text_fixtures(sf_dir)
+    df = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(f"{root}/documents.jsonl")
+    return df.select(
+        "doc_id", "lang", F.length("text").alias("n_chars_read")
+    )
+
+
+@register(
+    "scan_csv",
+    group="S",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header CSV scan (RFC 4180 quoting, explicit schema) with a
+    post-scan filter. CSV is the one mainstream format with NO
+    row-group statistics and NO column projection — the filter cannot
+    push below the parse, every byte is read. The docstring contrast
+    with scan_parquet's PushedFilters IS the lesson; hash parity
+    proves the text round-trip (quotes, floats) is exact."""
+    root = ensure_text_fixtures(sf_dir)
+    df = (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        .csv(f"{root}/customer.csv")
+    )
+    return df.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "compact_small_files",
+    group="S",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_files_before,
+           CAST(1 AS BIGINT) AS n_files_after,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the single most common maintenance job on
+    a real lake (streaming sinks and per-task writers shred tables into
+    files far below the 128MB scan-efficient size; the reference's
+    pipeline writes one object per input object and has no answer).
+
+    Plan: write the table as 8 range-partitioned files (the "before"
+    state, sorted by doc_id so compacted files keep min/max pruning),
+    read them back, coalesce to the target file count, rewrite, and
+    prove content preservation by hashing the post-compaction
+    aggregate against the original table. File counts are part of the
+    hashed output — the oracle can predict them because both the
+    shred and the target are deterministic. At 100 TB the target count
+    is ceil(partition_bytes / 128MB) per partition and compaction runs
+    partition-by-partition, never whole-table."""
+    small = tempfile.mkdtemp(prefix="compact_small_")
+    compacted = tempfile.mkdtemp(prefix="compact_out_")
+    d = table(spark, sf_dir, "documents")
+    d.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(small)
+    back = spark.read.parquet(small)
+    n_before = back.select(F.input_file_name()).distinct().count()
+    back.coalesce(1).write.mode("overwrite").parquet(compacted)
+    cb = spark.read.parquet(compacted).select(
+        F.input_file_name().alias("f"), "n_chars"
+    )
+    return (
+        cb.agg(
+            F.countDistinct("f").cast("long").alias("n_files_after"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn("n_files_before", F.lit(n_before).cast("long"))
+    )

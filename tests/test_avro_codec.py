@@ -253,3 +253,22 @@ def test_schema_resolution_skip_default_promote():
     ]}
     with pytest.raises(SchemaResolutionError):
         read_ocf_resolved(data, nr)
+
+
+def test_block_stats_matches_full_decode(data):
+    from s3_avro_repair_spark.avro_codec import block_stats
+
+    nb, nr, payload = block_stats(data)
+    _, recs = read_ocf(data)
+    assert nr == len(recs) == len(RECS)
+    assert nb == len(block_spans(data)) == len(RECS) // BLOCK
+    assert payload == sum(s[2] for s in block_spans(data))
+
+
+def test_block_stats_rejects_structural_damage(data):
+    from s3_avro_repair_spark.avro_codec import block_stats
+
+    with pytest.raises(CorruptBlock):
+        block_stats(inject_truncate(data))
+    with pytest.raises(CorruptHeader):
+        block_stats(inject_bad_header(data))

@@ -42,8 +42,9 @@ def test_contract_shape():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # Full SURVEY §2B surface (83 keys) + the X-group extras + C group.
-    assert len(qs) >= 110
+    # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
+    # multi-format scans / maintenance ops.
+    assert len(qs) >= 114
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
