@@ -225,3 +225,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("doc_ids"),
         )
     )
+
+
+@register(
+    "text_normalize",
+    group="X",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                  ' +', ' ', 'g')) AS norm_text,
+           LENGTH(trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                  ' +', ' ', 'g')))
+             - LENGTH(replace(trim(regexp_replace(
+                  regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                  ' +', ' ', 'g')), ' ', '')) + 1 AS n_tokens
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every dedup /
+    quality pipeline (lowercase, strip non-alphanumerics, collapse
+    whitespace) and the reason exact-dedup catches near-identical
+    crawls. Entirely JVM regexp (whole-stage codegen, no Python);
+    the token count is derived from the normalized form so downstream
+    stages agree on tokenization. Hash-checked against DuckDB's regex
+    engine — the character-class semantics must agree exactly."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (
+            F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
+        ).cast("long").alias("n_tokens"),
+    )

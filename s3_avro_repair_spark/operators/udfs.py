@@ -183,3 +183,38 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     return li.mapInPandas(keep_heavy, schema="item_key string, l_quantity double")
+
+
+@register(
+    "udtf_python",
+    group="U",
+    oracle="""
+    SELECT doc_id, token, LENGTH(token) AS token_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE LENGTH(token) >= 8
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) applied
+    via a correlated ``lateralJoin`` — one input row fans out to N
+    output rows, with arbitrary Python logic per row. This is the
+    row-explosion analog of udf_python: the same caveat applies (the
+    loop runs in the Python worker, ~100x slower than the built-in
+    ``explode(split(...))`` that expresses this exact query — see
+    fn_explode), but a UDTF can emit rows no SQL expression can
+    (recursive parses, API call results, generative augmentation),
+    which is why the surface matters for LLM data pipelines."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, token_len long")
+    class LongTokens:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                if len(tok) >= 8:
+                    yield tok, len(tok)
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.lateralJoin(LongTokens(F.col("text").outer())).select(
+        "doc_id", "token", "token_len"
+    )

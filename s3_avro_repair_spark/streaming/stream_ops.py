@@ -399,3 +399,49 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cts") <= F.col("ets"))
     )
     return err.join(clk, cond).select("err_id", "clk_id")
+
+
+@register(
+    "stream_foreach_batch",
+    group="T",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``foreachBatch`` sink pattern — how production streams write
+    to systems without a native streaming sink (JDBC, object stores
+    with custom layout). Each microbatch lands in its own
+    ``batch_id=N`` partition via an OVERWRITE keyed on the batch id:
+    a retried batch replaces its own previous (possibly partial)
+    output instead of duplicating it — idempotent, so the sink is
+    exactly-once even though foreachBatch itself is at-least-once.
+    The read-back aggregate over all landed batches must equal the
+    batch SQL over the full fixture: every event exactly once."""
+    import tempfile
+
+    from ..exprs import dsum
+
+    root = ensure_stream_dirs(sf_dir)
+    out = tempfile.mkdtemp(prefix="fb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    q = (
+        _read_stream(spark, os.path.join(root, "state"))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)  # batch_id partition discovered
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
+    )
