@@ -38,6 +38,10 @@ HEADLINE = [
     "sim_knn_topk",
     "stream_session",       # T group (batch-equivalent plan)
     "avro_validate",        # E group (binaryFile + mapInPandas)
+    "merge_upsert",         # C group (CDC merge)
+    "dedup_clusters",       # C group (iterative connected components)
+    "join_range_bucketed",  # bucketed point-in-interval join
+    "scan_jsonl",           # text-format scan path
 ]
 
 

@@ -51,21 +51,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocked+banded candidate bound as sim_cosine_pairs (never
     all-pairs); threshold applied to the full-precision cosine, the
     rounded value only reported."""
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(
+    from .llm import _norm
+
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    a = en.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("la"),
         F.col("embedding").alias("ea"),
-    )
-    b = e.select(
+        F.col("nrm").alias("na"),
+    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
+    b = en.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
-        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(
             b,
@@ -204,20 +205,21 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
     cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
+    from .llm import _norm
+
     q = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("ea"),
         F.col("cell").alias("qcell"),
+        _norm("embedding").alias("na"),
     )
     cand = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("eb"),
         F.col("cell"),
-    )
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
-        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-    )
+        _norm("embedding").alias("nb"),
+    ).repartition(32)
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     scored = (
         F.broadcast(q)
         .join(cand, (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("neighbor_id")))

@@ -201,21 +201,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a recursive-CTE transitive closure — DuckDB walks the
     whole reachability relation, Spark iterates; both must agree
     exactly on every cluster label."""
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(
+    from .llm import _norm
+
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    a = en.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("la"),
         F.col("embedding").alias("ea"),
-    )
-    b = e.select(
+        F.col("nrm").alias("na"),
+    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
+    b = en.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lb"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.expr(_DOT.format(a="ea", b="eb")) / (
-        F.sqrt(F.expr(_DOT.format(a="ea", b="ea")))
-        * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
-    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(
             b,
