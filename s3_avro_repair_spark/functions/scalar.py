@@ -339,3 +339,30 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xored"),
         F.expr("shiftleft(l_orderkey, 2)").alias("shifted"),
     )
+
+
+@register(
+    "fn_binary",
+    group="F",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(lang)) AS lang_b64,
+           hex(encode(substr(text, 1, 8))) AS head_hex,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar functions — base64, hex, byte length —
+    the plumbing under every multimodal column (mm_decode stores binary
+    payloads, checkpoints ship base64). String->binary->text round
+    trips must agree byte-for-byte across engines, including UTF-8
+    multi-byte boundaries (octet_length != char length for non-ASCII).
+    All JVM expressions inside whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.hex(F.substring("text", 1, 8).cast("binary")).alias("head_hex"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )

@@ -231,3 +231,55 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_argmax",
+    group="G",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     * 10000000 + o_orderkey) AS top_orderkey,
+           MAX(o_totalprice) AS top_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG MAX (``max_by``): each customer's highest-value order in ONE
+    aggregation pass — no self-join back to the table, no window sort.
+    This is the single-pass replacement for the classic "join the max
+    back" anti-pattern, and it partial-aggregates map-side like any
+    hash agg, so shuffled bytes scale with group count, not rows.
+    Ordering ties are broken deterministically by folding the row key
+    into an exact integer sort key (decimal cents * 1e7 + orderkey) —
+    double comparison semantics never enter the hash."""
+    o = table(spark, sf_dir, "orders")
+    sort_key = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long") * 10000000 + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", sort_key).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@register("agg_approx_percentile", group="G", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the mergeable quantile sketch
+    (``percentile_approx``, Greenwald-Khanna with accuracy=10000) —
+    the one-pass, partial-aggregatable alternative to agg_percentiles'
+    exact sort: sketches merge associatively across partitions, so
+    shuffled bytes are O(sketch), not O(rows). rows-only: the sketch's
+    answer is deterministic within Spark but not an SQL-expressible
+    value; tests/test_quality.py bounds its error against DuckDB's
+    exact quantiles (rank error <= 1/accuracy of the distribution)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile_approx(l_extendedprice, {q}, 10000)"), 4
+            ).alias(f"ap{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )

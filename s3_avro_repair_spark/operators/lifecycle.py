@@ -53,12 +53,14 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     core expresses it exactly: FULL OUTER join on the key, change side
     wins via COALESCE.
 
-    100 TB posture: the change batch is normally << base, so the join
-    broadcasts the changes and the base is never shuffled; with a
-    date-partitioned base, join only the partitions the changeset
-    touches and rewrite those (partition-pruned overwrite) — the same
-    atomic-swap idea as the reference's repair re-upload
-    (repair-avro.ts:118-124) at partition rather than object grain."""
+    100 TB posture: Spark cannot broadcast a FULL OUTER side (the hint
+    is ignored — the plan below is a co-partitioned SortMergeJoin on
+    the key, one shuffle each side). The at-scale cure is not a bigger
+    join but a smaller base: restrict the merge to the partitions the
+    changeset touches (dynamic partition pruning on the change keys)
+    and rewrite only those — the same atomic-swap idea as the
+    reference's repair re-upload (repair-avro.ts:118-124) at partition
+    rather than object grain."""
     o = table(spark, sf_dir, "orders")
     updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
         "o_orderkey",
@@ -77,7 +79,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("b_price"),
     )
     merged = base.join(
-        F.broadcast(changes).withColumnRenamed("o_orderkey", "c_orderkey"),
+        changes.withColumnRenamed("o_orderkey", "c_orderkey"),
         base.o_orderkey == F.col("c_orderkey"),
         "full_outer",
     )

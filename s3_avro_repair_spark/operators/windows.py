@@ -259,3 +259,30 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_custkey", "c_acctbal", tile.cast("int").alias("quartile")
     )
+
+
+@register(
+    "window_distribution",
+    group="W",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (``percent_rank`` / ``cume_dist``):
+    every row's position within its partition's value distribution —
+    the primitive behind percentile-based quality cutoffs ("drop the
+    bottom 5% of documents per language"). One shuffle on the
+    partition key; the order-by carries the row key so ranks are
+    deterministic under value ties."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

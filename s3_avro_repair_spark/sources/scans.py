@@ -327,3 +327,33 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_files_before", F.lit(n_before).cast("long"))
     )
+
+
+@register(
+    "scan_schema_merge",
+    group="S",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan over parquet: half the table written with
+    an OLD 2-column schema, half with today's 3-column schema, read in
+    one pass with ``mergeSchema`` — old files surface the new column as
+    NULL. This is the parquet-side mirror of avro_scan_evolved (there
+    the READER schema fills defaults in-codec; here the SCAN unions
+    file schemas), and the reality of any table written over years.
+    At 100 TB, mergeSchema's footer-union pass is driver-side cost per
+    file — pin the schema in a metastore and pay it once, not per read."""
+    out = tempfile.mkdtemp(prefix="schema_merge_")
+    d = table(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/v1")
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/v2")
+    return spark.read.option("mergeSchema", True).parquet(f"{out}/v1", f"{out}/v2")

@@ -44,10 +44,11 @@ def test_contract_shape():
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
     # multi-format scans / maintenance ops.
-    assert len(qs) >= 117
+    assert len(qs) >= 122
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "agg_approx_distinct", "scan_sample", "dedup_near",
         "sim_ann_lsh", "dedup_simhash", "sim_ann_ivf",
+        "agg_approx_percentile",
     }

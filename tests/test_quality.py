@@ -51,3 +51,34 @@ def test_ntile_plan_is_partitioned(spark, sf_dir):
     # the local row_number window must mention pid in its partition spec.
     win_specs = re.findall(r"Window \[(.*?)\]", plan)
     assert any("pid" in s for s in win_specs), plan
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir, duck):
+    """The GK sketch guarantees rank error <= 1/accuracy; assert the
+    approximate percentiles sit within a tolerant value band of
+    DuckDB's exact continuous quantiles."""
+    sdf = _OPS["agg_approx_percentile"].fn(spark, sf_dir).toPandas()
+    exact = duck.execute(
+        """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS e50,
+               quantile_cont(l_extendedprice, 0.9) AS e90,
+               quantile_cont(l_extendedprice, 0.99) AS e99
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchdf()
+    merged = sdf.merge(exact, on="l_returnflag")
+    assert len(merged) == len(exact)
+    for _, row in merged.iterrows():
+        for a, e in (("ap50", "e50"), ("ap90", "e90"), ("ap99", "e99")):
+            rel = abs(row[a] - row[e]) / row[e]
+            assert rel <= 0.05, f"{row.l_returnflag} {a}: {row[a]} vs {row[e]}"
+
+
+def test_range_bucketed_plan_is_hash_join(spark, sf_dir):
+    """join_range_bucketed exists to AVOID the nested-loop fallback —
+    its (user, bucket) key must produce a real equi-join."""
+    df = _OPS["join_range_bucketed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
