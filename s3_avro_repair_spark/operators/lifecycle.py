@@ -203,6 +203,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a recursive-CTE transitive closure — DuckDB walks the
     whole reachability relation, Spark iterates; both must agree
     exactly on every cluster label."""
+    return _cluster_labels(spark, sf_dir)
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared kernel of dedup_clusters / dedup_canonical: (vec_id,
+    cluster_id) for every node of the cosine-similarity graph."""
     from .llm import _norm
 
     en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
@@ -330,4 +336,63 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (c.c_ts < p.end_us),
         )
         .select("purchase_id", "attributed_id")
+    )
+
+
+_CLUSTER_CTE = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id > a.vec_id
+       AND b.vec_id - a.vec_id <= 50
+      , LATERAL (
+          SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+                 SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+                 SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
+        ) d
+      WHERE d.dot / (SQRT(d.na) * SQRT(d.nb)) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+"""
+
+
+@register(
+    "dedup_canonical",
+    group="C",
+    oracle=_CLUSTER_CTE
+    + """
+    SELECT e.vec_id, e.label FROM embeddings e
+    ANTI JOIN (SELECT vec_id FROM labels WHERE cluster_id <> vec_id) dupes
+      ON e.vec_id = dupes.vec_id
+    """,
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELIVERABLE of near-dup detection: the deduplicated corpus.
+    Every similarity cluster keeps exactly its canonical member (the
+    minimum id — dedup_clusters' label), all other members are dropped
+    via a LEFT ANTI join of the corpus against non-canonical cluster
+    rows. Singletons pass through untouched (they never enter the
+    graph). The anti join broadcasts the duplicate-id list — it is
+    near-dup-pair-sized, orders smaller than the corpus — so the
+    corpus-side scan is shuffle-free. This is the op a training-data
+    pipeline actually runs; clusters/pairs are its diagnostics."""
+    labels = _cluster_labels(spark, sf_dir)
+    dupes = labels.filter(F.col("cluster_id") != F.col("vec_id")).select("vec_id")
+    e = table(spark, sf_dir, "embeddings")
+    return e.join(F.broadcast(dupes), "vec_id", "left_anti").select(
+        "vec_id", "label"
     )
