@@ -366,3 +366,33 @@ def fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.substring("text", 1, 8).cast("binary")).alias("head_hex"),
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "fn_struct",
+    group="F",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS s_status, o_totalprice AS s_price
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct pack/unpack round trip: nested types are FREE in Spark —
+    Tungsten stores struct fields columnar, ``s.field`` access is a
+    projection, and Catalyst collapses create-then-access to a no-op
+    (the optimized plan below reads the two leaf columns directly).
+    This is why typed metadata structs on multimodal columns
+    (multimodal_join's meta struct) cost nothing at scan time."""
+    o = table(spark, sf_dir, "orders")
+    packed = o.withColumn(
+        "s",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("s.status").alias("s_status"),
+        F.col("s.price").alias("s_price"),
+    )

@@ -283,3 +283,31 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.5, 0.9, 0.99)
         ]
     )
+
+
+@register(
+    "agg_stats",
+    group="G",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — sample stddev, Pearson correlation,
+    sample covariance — the feature-engineering primitives (z-score
+    normalization, feature/label leakage checks). All three are
+    single-pass mergeable moment sketches in Spark (partial sums of
+    x, x^2, xy per partition), so they partial-aggregate map-side like
+    any hash agg. Rounded (6/6/4 dp) so partial-vs-sequential double
+    summation order cannot flip the hash — the moments differ from
+    DuckDB's sequential pass only at ~1e-10 relative."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+    )

@@ -281,3 +281,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof").cast("date").cast("string").alias("asof_orderdate"),
         )
     )
+
+
+@register(
+    "join_dpp",
+    group="J",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+          HAVING MAX(o_orderkey) = (SELECT MAX(o_orderkey) FROM orders)) d
+      ON o.o_orderstatus = d.o_orderstatus
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    Hive-partitioned on the join column, and the qualifying dim value
+    (the status of the newest order — an aggregate of the data) is
+    only computable at runtime, so no static filter can reach the fact
+    scan. Spark injects a dynamic pruning subquery into the scan's
+    PartitionFilters instead: the dim side runs first, its statuses
+    feed the fact scan, and non-matching partitions are never read.
+    At 100 TB this is the difference between reading one partition and
+    the whole table — the scan-side win static pushdown cannot deliver
+    when the predicate lives across a join. (A CONSTANT dim filter
+    would not exercise DPP: Catalyst propagates it through the join as
+    a static partition filter — strictly better, and worth knowing.)
+    tests/test_quality.py asserts the dynamicpruning expression is in
+    the physical plan. The max-key anchor keeps the selected set
+    deterministic at every fixture scale."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dpp_fact_")
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    # DPP's planner rule wants the classic shape: a selective filter on
+    # a NON-join dim column. The filter value is a scalar aggregate
+    # (driver-fetched literal on maxk), but the qualifying STATUSES
+    # still require executing the dim at runtime — exactly what the
+    # dynamic pruning subquery does.
+    overall_max = o.agg(F.max("o_orderkey")).first()[0]
+    dim = (
+        o.groupBy("o_orderstatus")
+        .agg(F.max("o_orderkey").alias("maxk"))
+        .filter(F.col("maxk") == overall_max)
+        .select("o_orderstatus")
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderstatus")
+        .select("o_orderkey", "o_totalprice")
+    )

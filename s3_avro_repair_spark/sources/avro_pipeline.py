@@ -586,3 +586,50 @@ def avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.select("path", "content").mapInPandas(
         stats, schema="file_idx long, n_records long, n_blocks long"
     )
+
+
+@register(
+    "avro_compact",
+    group="E",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container compaction: the 8 per-bucket fixture files are
+    decoded distributed, repartitioned to 2, and rewritten as 2 larger
+    containers through the same codec (deflate), then read back and
+    aggregated — content preservation through a full
+    decode/shuffle/encode cycle is what the hash proves. This is the
+    Avro-side twin of compact_small_files and the missing maintenance
+    half of the reference (it rewrites objects 1:1, never consolidates;
+    repair-avro.ts:118-124). At 100 TB: group files per partition to
+    ~128 MB targets; the codec path is identical."""
+    root = ensure_avro_fixtures(sf_dir)
+    src = read_avro_dir(
+        spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA,
+        n_tasks=N_FILES,
+    )
+    out = tempfile.mkdtemp(prefix="avro_compact_")
+    compact_schema = {
+        "type": "record",
+        "name": "order_c",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+        ],
+    }
+    slim = src.select("o_orderkey", "o_orderstatus", "o_totalprice").repartition(2)
+    write_avro_dir(slim, out, compact_schema, codec="deflate")
+    back = read_avro_dir(
+        spark, out, compact_schema,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        n_tasks=2,
+    )
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )

@@ -82,3 +82,11 @@ def test_range_bucketed_plan_is_hash_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """join_dpp exists to demonstrate runtime partition pruning — the
+    dynamicpruning subquery must be injected into the fact scan."""
+    df = _OPS["join_dpp"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
