@@ -311,3 +311,34 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
     )
+
+
+@register(
+    "agg_histogram",
+    group="G",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n FROM (
+      SELECT CASE WHEN l_quantity < 0 THEN 0
+                  WHEN l_quantity >= 50 THEN 11
+                  ELSE CAST(FLOOR(l_quantity / 5.0) AS BIGINT) + 1 END AS bucket
+      FROM lineitem
+    ) GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the one-pass
+    distribution profile (data-skew reports, partition-size planning).
+    Bucketing is a narrow map + a hash agg on 12 groups, so shuffled
+    bytes are O(buckets) at any scale. DuckDB has no width_bucket; the
+    oracle is the arithmetic definition — exact here because
+    l_quantity is integer-valued, so the division hits no float
+    boundary ambiguity (document that caveat before histogramming
+    arbitrary doubles this way)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr("width_bucket(l_quantity, 0, 50, 10)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -267,3 +267,45 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) + 1
         ).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "text_pii_mask",
+    group="X",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+               'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS masked,
+           (text <> regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+               'g'),
+             '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS was_masked
+    FROM documents
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — email/phone patterns replaced with typed mask
+    tokens, plus a per-doc audit flag. A mandatory pre-training stage;
+    at 100 TB it is a pure narrow map (JVM regexp, no shuffle, no
+    Python), so it composes into any scan for free. Hash parity across
+    Java regex and DuckDB's RE2 pins the character-class semantics the
+    masking relies on."""
+    d = table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"),
+            r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+            "<EMAIL>",
+        ),
+        r"\d{3}-\d{3}-\d{4}",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        masked.alias("masked"),
+        (F.col("text") != masked).alias("was_masked"),
+    )

@@ -286,3 +286,55 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "window_sessionize",
+    group="W",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM flagged
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a session break is a >30min gap
+    since the user's previous event; the running sum of break flags
+    numbers each user's sessions 1..n. The pure-window formulation of
+    what session_window (stream_session) does as an aggregate — this
+    one keeps EVERY event row with its session id, which is what
+    downstream per-event feature joins need. One shuffle on user_id
+    shared by both window functions (same partitioning, Catalyst plans
+    a single exchange)."""
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    is_new = (
+        gap.isNull() | (gap > 1800 * 1000 * 1000)
+    ).cast("bigint").alias("is_new")
+    flagged = e.select("user_id", "event_id", ts_us.alias("ts_us"), is_new)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id", "event_id", F.sum("is_new").over(w2).alias("session_seq")
+    )
