@@ -396,3 +396,118 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(dupes), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+@register(
+    "dedup_clusters_bigstar",
+    group="C",
+    oracle=_CLUSTER_CTE
+    + """
+    SELECT vec_id, cluster_id FROM labels
+    """,
+)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via LARGE-STAR / SMALL-STAR alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm dedup_clusters' docstring names as the
+    100 TB path, implemented here against the SAME recursive-CTE oracle
+    so both strategies must produce identical cluster labels.
+
+    Each round is two groupBy shuffles on node id:
+      large-star: every node attaches its STRICTLY-LARGER neighbors to
+        its minimum neighborhood member (tree edges shrink heights);
+      small-star: every node attaches its smaller-or-equal neighbors
+        (and itself) to that minimum (flattens into stars).
+    The edge set contracts toward a star per component whose center is
+    the component minimum; rounds needed grow with log(diameter), not
+    diameter — the property that matters when components are long
+    chains (crawl mirrors, boilerplate families). Convergence probe is
+    a 3-scalar aggregate (count + endpoint sums), never a collect."""
+    # pair generation identical to _cluster_labels
+    from .llm import _norm
+
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    a = en.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    ).repartition(32)
+    b = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") - F.col("id_a") <= 50),
+        )
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+    def bidir(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .union(df.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    nodes = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = bidir(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ).localCheckpoint(eager=True)
+
+    def star(adj: DataFrame, large: bool) -> DataFrame:
+        mins = adj.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select(
+            "src", F.least(F.col("src"), F.col("mn")).alias("m")
+        )
+        joined = adj.join(mins, "src")
+        if large:
+            out = joined.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            ).union(joined.select(F.col("src").alias("a"), F.col("m").alias("b")))
+        return bidir(out)
+
+    prev_sig = None
+    for _ in range(12):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("src"), F.sum("dst")
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError("dedup_clusters_bigstar: did not converge")
+    # star fixpoint: every non-center node has a direct edge to its
+    # component minimum; centers label themselves
+    neighbor_min = edges.groupBy("src").agg(F.min("dst").alias("mn"))
+    return nodes.join(
+        neighbor_min, nodes.vec_id == neighbor_min.src, "left"
+    ).select(
+        "vec_id",
+        F.least(F.col("vec_id"), F.coalesce(F.col("mn"), F.col("vec_id"))).alias(
+            "cluster_id"
+        ),
+    )

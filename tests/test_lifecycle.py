@@ -91,3 +91,13 @@ def test_join_range_bucketed_matches_unbucketed(spark, sf_dir):
     )
     key = lambda df: sorted(map(tuple, df.values))
     assert key(bucketed) == key(naive)
+
+
+def test_cc_strategies_agree(spark, sf_dir):
+    """Min-label propagation (O(diameter) rounds) and large-star/
+    small-star (O(log n) rounds) must produce identical cluster labels
+    — they are two physical strategies for one logical operator."""
+    prop = _OPS["dedup_clusters"].fn(spark, sf_dir).toPandas()
+    star = _OPS["dedup_clusters_bigstar"].fn(spark, sf_dir).toPandas()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cluster_id"]].values))
+    assert key(prop) == key(star)
