@@ -396,3 +396,31 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.status").alias("s_status"),
         F.col("s.price").alias("s_price"),
     )
+
+
+@register(
+    "fn_hof",
+    group="F",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0.1)) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 0.5)) > 0 AS any_big,
+           len(list_filter(embedding, x -> NOT abs(x) < 1.0)) = 0 AS all_small
+    FROM embeddings
+    """,
+)
+def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions — filter / exists / forall — the
+    lambda surface for array columns (embeddings, token lists) that
+    keeps per-element logic in the JVM instead of a Python UDF.
+    Complements fn_array's aggregate/zip_with. DuckDB expresses
+    exists/forall through list_filter cardinality; element comparisons
+    promote float32 to double identically in both engines, so the
+    boolean outputs hash-match exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > F.lit(0.1))).cast("long").alias("n_pos"),
+        F.exists("embedding", lambda x: F.abs(x) > F.lit(0.5)).alias("any_big"),
+        F.forall("embedding", lambda x: F.abs(x) < F.lit(1.0)).alias("all_small"),
+    )

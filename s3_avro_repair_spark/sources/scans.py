@@ -357,3 +357,68 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(f"{out}/v2")
     return spark.read.option("mergeSchema", True).parquet(f"{out}/v1", f"{out}/v2")
+
+
+@register(
+    "scan_jsonl_permissive",
+    group="S",
+    oracle="""
+    SELECT COUNT(*) AS n_good,
+           CAST(2 AS BIGINT) AS n_bad,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON scan: the fixture JSONL plus two
+    deliberately broken lines, read in PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column — malformed rows become data (audit
+    rows), never job failures. The ingestion-side twin of the E group's
+    per-file fault isolation: at 100 TB a crawl dump ALWAYS contains
+    torn lines, and a scan that dies on the first one cannot finish.
+    The oracle pins exact good/bad accounting. (Spark disallows
+    touching only the corrupt column on an unmaterialized scan — the
+    aggregate references data columns too, which keeps the plan legal.)
+    """
+    import os
+    import shutil
+
+    from .avro_pipeline import _CACHE_ROOT
+
+    text_root = ensure_text_fixtures(sf_dir)
+    root = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_textbad_v1"
+    )
+    if not os.path.isdir(root):
+        tmp = tempfile.mkdtemp(prefix=".textbad_", dir=_CACHE_ROOT)
+        try:
+            shutil.copy(
+                os.path.join(text_root, "documents.jsonl"),
+                os.path.join(tmp, "documents.jsonl"),
+            )
+            with open(os.path.join(tmp, "documents.jsonl"), "a") as fo:
+                fo.write('{"doc_id": 999999, "text": "torn line\n')
+                fo.write("not json at all }{\n")
+            try:
+                os.rename(tmp, root)
+            except OSError:
+                pass
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+    df = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{root}/documents.jsonl")
+    )
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.length("text"))).alias(
+            "sum_chars"
+        ),
+    )
