@@ -124,3 +124,44 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
     b = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_orderstatus")
     return a.subtract(b)
+
+
+@register(
+    "sort_within_partitions",
+    group="O",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS inversions, COUNT(*) AS n FROM lineitem
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (``sortWithinPartitions``) — the
+    write-optimization primitive: NO global shuffle or range exchange,
+    yet every output partition is internally ordered, which is what
+    parquet writers need for run-length/delta encoding and min-max
+    row-group pruning on the sort key. The proof is in-plan: a
+    mapInPandas pass walks each partition (carrying the last key across
+    Arrow batches) and counts order inversions — the hashed output pins
+    inversions = 0 over the full row count."""
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    ).sortWithinPartitions("l_orderkey", "l_linenumber")
+
+    def count_inversions(batches):
+        inv = 0
+        n = 0
+        prev = None
+        for pdf in batches:
+            keys = list(zip(pdf["l_orderkey"], pdf["l_linenumber"]))
+            n += len(keys)
+            for k in keys:
+                if prev is not None and k < prev:
+                    inv += 1
+                prev = k
+        yield pd.DataFrame({"inversions": [inv], "n": [n]})
+
+    per_part = li.mapInPandas(count_inversions, schema="inversions long, n long")
+    return per_part.agg(
+        F.sum("inversions").alias("inversions"), F.sum("n").alias("n")
+    )

@@ -445,3 +445,30 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")
     )
+
+
+@register(
+    "stream_complete_mode",
+    group="T",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode: an unwindowed streaming aggregation whose
+    ENTIRE result table is re-emitted every microbatch (the mode for
+    live dashboards over running totals — no watermark, state never
+    evicts). Three microbatches run; the memory sink's final snapshot
+    must equal the batch aggregate over everything ingested. Contrast
+    with append mode (stream_tumbling: only closed windows emit) and
+    update mode; complete mode's state is O(groups), which is why it
+    is only legal for aggregated streams."""
+    root = ensure_stream_dirs(sf_dir)
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    counts = (
+        _read_stream(spark, os.path.join(root, "state"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_stream(counts.writeStream.outputMode("complete"), name)
+    return spark.table(name)
