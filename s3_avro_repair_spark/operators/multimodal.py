@@ -131,3 +131,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         sample, schema="doc_id long, frame_no int, frame_md5 string"
     )
+
+
+@register(
+    "mm_audio_window",
+    group="L",
+    oracle="""
+    SELECT doc_id, w AS window_no,
+           CAST(SUM(ascii(substring(text, w * 32 + i + 1, 1))
+                    * ascii(substring(text, w * 32 + i + 1, 1))) AS BIGINT)
+             AS energy
+    FROM documents, generate_series(0, 3) AS gw(w),
+                    generate_series(0, 31) AS gi(i)
+    WHERE LENGTH(text) >= (w + 1) * 32
+    GROUP BY doc_id, w
+    """,
+)
+def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing: treat the blob as a PCM sample stream and
+    compute windowed ENERGY (sum of squared samples per fixed-stride
+    window) — the primitive under VAD, silence trimming, and loudness
+    normalization. The per-window math is vectorized numpy over Arrow
+    batches (``frombuffer`` -> square -> reshape-sum: no Python loop
+    per sample), which is exactly how a real audio featurizer runs on
+    a cluster; a production decoder (soundfile/ffmpeg) replaces the
+    frombuffer line only. Fixture text is pure ASCII so the byte
+    values equal the oracle's ascii() codes."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    win, nwin = 32, 4
+
+    def energy(batches):
+        for pdf in batches:
+            ids, windows, energies = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                raw = bytes(blob)
+                usable = min(len(raw) // win, nwin)
+                if usable == 0:
+                    continue
+                samples = np.frombuffer(
+                    raw[: usable * win], dtype=np.uint8
+                ).astype(np.int64)
+                e = (samples * samples).reshape(usable, win).sum(axis=1)
+                ids.extend([doc_id] * usable)
+                windows.extend(range(usable))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_no": windows, "energy": energies}
+            )
+
+    return d.mapInPandas(
+        energy, schema="doc_id long, window_no int, energy long"
+    )
