@@ -309,3 +309,24 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("masked"),
         (F.col("text") != masked).alias("was_masked"),
     )
+
+
+@register("agg_heavy_hitters", group="X", oracle=None)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (``approx_top_k``) over the exploded token
+    stream — the heavy-hitters pass that finds stop-shingles and
+    boilerplate tokens BEFORE they blow up a shingle-equality join
+    (dedup_ngram_jaccard's documented two-stage cure uses exactly this
+    output). The sketch partial-aggregates and merges, so shuffled
+    bytes are O(k), not O(vocabulary). rows-only: top-k tie ordering at
+    the cut is sketch-internal; tests/test_quality.py asserts every
+    reported count equals the exact count and the true top-5 are all
+    present."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    hh = toks.select(
+        F.expr("approx_top_k(tok, 10, 100000)").alias("top")
+    )
+    return hh.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("token"), F.col("e.count").alias("n")
+    )

@@ -90,3 +90,21 @@ def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     df = _OPS["join_dpp"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_heavy_hitters_counts_exact(spark, sf_dir, duck):
+    """approx_top_k with maxItemsTracked >> vocabulary is exact on
+    counts; the true top-5 tokens must all be reported."""
+    hh = _OPS["agg_heavy_hitters"].fn(spark, sf_dir).toPandas()
+    exact = duck.execute(
+        """
+        SELECT w AS token, COUNT(*) AS n FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w ORDER BY n DESC, token
+        """
+    ).fetchdf()
+    exact_map = dict(zip(exact.token, exact.n))
+    for _, row in hh.iterrows():
+        assert exact_map.get(row.token) == row.n, (row.token, row.n)
+    top5 = set(exact.head(5).token)
+    assert top5 <= set(hh.token)
