@@ -1,0 +1,305 @@
+"""Q group — composite multi-operator queries.
+
+Single-op correctness (P/J/G/W/…) proves each piece; these queries
+prove the pieces COMPOSE: multi-way dim/fact joins feeding
+aggregations feeding top-k, aggregate-join-aggregate shapes, and a
+full corpus-curation pipeline (filter → dedup → stats) in one plan.
+They are the queries a user of the reference would actually run
+end-to-end, and the shapes Catalyst's join reordering / broadcast
+selection / partial aggregation are built for — so they double as the
+bench's composition headliners.
+
+Every query is hash-checked against a DuckDB oracle; money arithmetic
+uses the exact-decimal pattern from exprs.py; top-k ORDER BYs carry a
+unique tie-break key so the LIMIT cut is deterministic on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import dec2
+from ..plans.registry import register
+from ..tables import table
+
+# Exact-decimal revenue, shared by the three TPC-H-shaped queries.
+_SQL_REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue"
+)
+
+
+def _revenue() -> F.Column:
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q_shipping_priority",
+    group="Q",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_SQL_REVENUE},
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    orders ⋈ lineitem, revenue per open order, top 10.
+
+    The plan Catalyst should pick — and does — at any scale: customer
+    (dim, pre-filtered to one segment) broadcasts into orders, that
+    result broadcasts-or-shuffles into lineitem depending on
+    selectivity stats, partial aggregation runs map-side before the
+    groupBy shuffle, and the top-10 is a TakeOrdered (per-partition
+    heap + driver merge of 10×partitions rows), never a global sort."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue())
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier",
+    group="Q",
+    oracle=f"""
+    SELECT n_name, {_SQL_REVENUE}
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-way star join —
+    region → nation → customer on one arm, supplier on the other, the
+    arms meeting at lineitem with the locality condition s_nationkey =
+    c_nationkey — aggregated to revenue per nation.
+
+    All four dims are broadcast (region 5 rows, nation 25, supplier
+    and filtered customer dim-sized at every SF), so the only shuffles
+    are fact-side: one for the orders⋈lineitem equi join if stats rule
+    out broadcast, one for the 5-group aggregate. Join ORDER matters
+    at 100 TB — dims first to shrink the fact early — and is exactly
+    what Catalyst's reordering does given the broadcast hints."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cust_arm = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_arm), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_revenue())
+    )
+
+
+@register(
+    "q_returned_items",
+    group="Q",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, {_SQL_REVENUE}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer over one quarter, top 20 — fact filtered on
+    returnflag, quarter-filtered orders broadcast, nation broadcast,
+    aggregate keyed on the customer (high cardinality, unlike Q1/Q5).
+
+    The high-cardinality groupBy is the part to watch at 100 TB: the
+    shuffle carries one row per (customer) per map task. Partial
+    aggregation still collapses the per-task duplicates, and the top-20
+    stays a TakeOrdered — no global sort of the aggregate."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_revenue())
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_large_orders",
+    group="Q",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c_custkey, COUNT(*) AS n_big_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CAST(sum_qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate → join →
+    aggregate. Lineitem is first collapsed per order (HAVING sum qty >
+    threshold), the surviving order keys join back to orders and
+    customers, then a second aggregation rolls up per customer.
+
+    The first aggregation is the scale valve: it reduces the fact to
+    order grain BEFORE any join, so the join input shrinks by the
+    average lines-per-order factor, and the HAVING cuts it further.
+    Spark runs both aggregations partial+final; the big→orders join
+    keys are both order-grain so AQE can pick a co-partitioned plan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("dq"))
+        .filter(F.col("dq") > 150)
+        .select("l_orderkey", F.col("dq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+            F.sum(dec2("sum_qty")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q_corpus_curation",
+    group="Q",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM toks WHERE n_tokens >= 5 AND n_chars >= 30
+    ),
+    canon AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_chars, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM canon GROUP BY lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in ONE plan: quality
+    filter (min tokens, min chars) → exact dedup (keep the minimum
+    doc_id per full-text hash) → per-language corpus stats. Each stage
+    exists as its own op (text_quality, dedup_exact, text_stats); this
+    query proves they fuse into a single job with no materialization
+    between stages.
+
+    Plan: narrow filter (pushdown-friendly) → one shuffle on
+    md5(text) for the dedup window → one shuffle on lang for the
+    stats. At 100 TB the dedup shuffle dominates; it hashes the
+    128-bit digest, not the document text, so shuffle bytes are
+    metadata-sized — the same reason dedup_exact groups on digest."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    kept = toks.filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 30))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return canon.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
