@@ -1,0 +1,206 @@
+"""L group — corpus-management operators of a training-data pipeline.
+
+The dedup/similarity ops (llm.py) find redundancy; these four run the
+rest of the curation workflow a 100 TB pretraining corpus needs:
+reproducible train/val/test splits, benchmark decontamination,
+stratified subsampling, and fixed-budget sequence packing. All four
+are pure relational plans (no UDFs) and hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+# 16-bit key-hash bucket, identical on both engines: the first 4 hex
+# chars of md5 parsed as an integer. Spark's conv() and DuckDB's
+# CAST('0x…') agree exactly on this range.
+_SPARK_BUCKET = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+_DUCK_BUCKET = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)"
+
+
+@register(
+    "split_train_test",
+    group="L",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_DUCK_BUCKET} % 100 < 80 THEN 'train'
+                WHEN {_DUCK_BUCKET} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash — the split every training run must reproduce bit-for-bit.
+    Seeded RNG splits (randomSplit) shift whenever partitioning or
+    parallelism changes; hashing the key makes the assignment a pure
+    function of the row, stable across engines, cluster sizes, and
+    reruns (same property as sample_hash_det, extended to multi-way).
+
+    Narrow projection — no shuffle at any scale; md5+conv run inside
+    whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPARK_BUCKET) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_NGRAMS_DUCK = """
+      SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+                     i -> array_to_string(l[i:i+2], ' '))) AS ng
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+@register(
+    "decontaminate",
+    group="L",
+    oracle=f"""
+    WITH g AS ({_NGRAMS_DUCK}),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
+      WHERE g.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    ANTI JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares an n-gram (trigram here; n is a dial) with the held-out
+    eval set (the doc_id % 97 slice stands in for it). This is the
+    standard guard against test-set leakage into a pretraining corpus.
+
+    Plan shape at 100 TB: the eval side's distinct n-gram FINGERPRINTS
+    (md5, not the text) are dim-sized and broadcast; corpus n-grams —
+    generated inside codegen by the indexed-lambda transform, exploded,
+    hashed — semi-join against them with zero shuffle of corpus text.
+    Only the matched doc_ids (a tiny set) reach the final broadcast
+    anti join, so corpus rows are never shuffled at all."""
+    d = table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
+        " (t, i) -> concat_ws(' ', t, split(text, ' ')[i + 1],"
+        " split(text, ' ')[i + 2]))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("ng")).select(
+        "doc_id", F.md5("ng").alias("h")
+    )
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "sample_stratified",
+    group="L",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 20% sample with EXACT per-stratum counts: within each
+    language, rank rows by key hash (a deterministic shuffle of the
+    stratum) and keep the top ceil(0.2·n). Bernoulli sampling only
+    hits the fraction in expectation — small strata (rare languages!)
+    can come back empty, which is precisely what stratification must
+    prevent in a multilingual corpus.
+
+    One shuffle on lang serves both window functions (rank + stratum
+    size share the partitioning). Skew note: strata are language-sized,
+    so a 90%-English corpus puts 90% of rows in one window partition —
+    at 100 TB, sub-stratify (lang, hash-bucket) first, then take
+    ceil(0.2·n_bucket) per sub-stratum: same guarantee, bounded
+    partitions."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(0.2 * F.col("n")).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "pack_sequences",
+    group="L",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (per language stream, in
+    doc_id order) and cut the stream into 512-token training packs —
+    each doc labeled with the pack its FIRST token lands in. Packing is
+    how pretraining batches reach full context-length utilization
+    instead of padding; start-offset assignment keeps it a pure window
+    expression (running sum → integer-divide by the budget), no
+    stateful loop, no UDF.
+
+    One shuffle on lang; the running sum is Spark's standard
+    partial-aggregated window. The 100 TB cure for giant strata is the
+    same sub-stratification as sample_stratified — pack within
+    (lang, shard) streams; packs never cross shards anyway in a real
+    loader."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.sum(n_tokens).over(w).alias("cum"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").alias("pack_id"),
+    )
