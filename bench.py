@@ -42,6 +42,9 @@ HEADLINE = [
     "dedup_clusters",       # C group (iterative connected components)
     "join_range_bucketed",  # bucketed point-in-interval join
     "scan_jsonl",           # text-format scan path
+    "q_local_supplier",     # Q group: 6-way broadcast star join
+    "q_returned_items",     # Q group: high-cardinality agg + top-k
+    "q_corpus_curation",    # Q group: filter -> dedup -> stats one-plan
 ]
 
 

@@ -78,7 +78,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue())
@@ -136,7 +136,7 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", "n_name")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cust_arm), o.o_custkey == F.col("c_custkey"))
         .join(
             F.broadcast(s),
@@ -168,8 +168,10 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): revenue lost to
     returns per customer over one quarter, top 20 — fact filtered on
-    returnflag, quarter-filtered orders broadcast, nation broadcast,
-    aggregate keyed on the customer (high cardinality, unlike Q1/Q5).
+    returnflag, orders quarter-filtered (fact-fact join left to
+    AQE, which demotes it to broadcast when the filtered side is
+    small), customer and nation dims broadcast, aggregate keyed on
+    the customer (high cardinality, unlike Q1/Q5).
 
     The high-cardinality groupBy is the part to watch at 100 TB: the
     shuffle carries one row per (customer) per map task. Partial
@@ -183,7 +185,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
