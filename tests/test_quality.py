@@ -108,3 +108,52 @@ def test_heavy_hitters_counts_exact(spark, sf_dir, duck):
         assert exact_map.get(row.token) == row.n, (row.token, row.n)
     top5 = set(exact.head(5).token)
     assert top5 <= set(hh.token)
+
+
+# Ops whose query FUNCTION itself executes jobs (streaming availableNow
+# runs, iterative fixpoints, sink materialization) — building their
+# "plan" means running them, so the cartesian sweep skips them; each
+# has its own dedicated correctness/plan coverage elsewhere.
+_EAGER_OPS = {
+    "dedup_clusters", "dedup_clusters_bigstar", "dedup_canonical",
+    "join_dpp", "compact_small_files", "avro_rewrite", "avro_compact",
+    "sink_parquet", "sink_avro", "sink_bucketed",
+}
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Global scale guard: NO registered op may plan a CartesianProduct
+    (the unbounded all-pairs join — the #1 100 TB killer). The one
+    exception is join_cross, whose point is a deliberate constant-size
+    cross join. Broadcast nested-loop joins are allowed: they are
+    bounded by the broadcast side.
+
+    This sweeps every lazily-planned op; a regression that drops a
+    join condition or loses a broadcast bound fails here by name."""
+    offenders = []
+    for name, op in sorted(_OPS.items()):
+        if op.group == "T" or name in _EAGER_OPS or name == "join_cross":
+            continue
+        df = op.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_q_group_plan_shapes(spark, sf_dir):
+    """The Q-group composites must compile to the plans their
+    docstrings promise: broadcast hash joins for the dims, TakeOrdered
+    (never a global Sort) for the top-k cuts."""
+    top10 = _OPS["q_shipping_priority"].fn(spark, sf_dir)
+    plan = top10._jdf.queryExecution().sparkPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    star = _OPS["q_local_supplier"].fn(spark, sf_dir)
+    plan = star._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+    top20 = _OPS["q_returned_items"].fn(spark, sf_dir)
+    plan = top20._jdf.queryExecution().sparkPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
