@@ -342,3 +342,58 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_incremental_merge",
+    group="G",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
+             AS month,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-state RE-aggregation — the materialized-view maintenance
+    pattern. The fact is first aggregated to day grain as mergeable
+    state (sum, count — never avg, which doesn't merge), then the day
+    partials are merged up to month and avg is derived at the end from
+    the merged state. The oracle aggregates the raw fact directly to
+    month: both answers must agree exactly, proving the decomposition.
+
+    This is how a 100 TB pipeline avoids re-reading the fact table for
+    every rollup: yesterday's day-grain partials are immutable; a new
+    day appends one partial; month/quarter/year views re-merge
+    partials, touching per-day rows instead of per-event rows. Spark
+    runs it as two hash aggregations — the second one's input is
+    day-count-sized, so the merge stage costs ~nothing at any SF."""
+    li = table(spark, sf_dir, "lineitem")
+    day_partials = (
+        li.groupBy(
+            "l_returnflag", F.date_trunc("day", "l_shipdate").alias("day")
+        ).agg(
+            F.sum(dec2("l_quantity")).alias("psum"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+    )
+    return (
+        day_partials.groupBy(
+            "l_returnflag", F.date_trunc("month", "day").alias("m")
+        )
+        .agg(F.sum("psum").alias("msum"), F.sum("pcnt").alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("m").cast("date").cast("string").alias("month"),
+            F.col("msum").cast("double").alias("sum_qty"),
+            "n",
+            F.round(F.col("msum").cast("double") / F.col("n"), 4).alias(
+                "avg_qty"
+            ),
+        )
+    )

@@ -116,6 +116,7 @@ def test_heavy_hitters_counts_exact(spark, sf_dir, duck):
 # has its own dedicated correctness/plan coverage elsewhere.
 _EAGER_OPS = {
     "dedup_clusters", "dedup_clusters_bigstar", "dedup_canonical",
+    "graph_pagerank",
     "join_dpp", "compact_small_files", "avro_rewrite", "avro_compact",
     "sink_parquet", "sink_avro", "sink_bucketed",
 }
