@@ -165,3 +165,54 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_part.agg(
         F.sum("inversions").alias("inversions"), F.sum("n").alias("n")
     )
+
+
+def _z_interleave(div_op: str) -> str:
+    """16-bit Morton (Z-order) interleave of (l_partkey, l_suppkey) in
+    portable integer arithmetic — bit i of partkey lands at position
+    2i, bit i of suppkey at 2i+1. ``div_op`` is '//' for DuckDB and
+    'DIV' for Spark SQL; everything else is engine-identical."""
+    terms = [
+        f"{4 ** i} * (((l_partkey {div_op} {2 ** i}) % 2)"
+        f" + 2 * ((l_suppkey {div_op} {2 ** i}) % 2))"
+        for i in range(16)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "sort_zorder",
+    group="O",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_z_interleave('//')} AS BIGINT) AS zval,
+           CAST(({_z_interleave('//')}) // 67108864 AS BIGINT) AS zbucket
+    FROM lineitem
+    """,
+)
+def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout key: Morton-interleave the bits of two filter
+    columns (partkey, suppkey) so that sorting by the single zval
+    clusters rows that are close in EITHER dimension — the multi-column
+    data-skipping layout Delta/Iceberg expose as OPTIMIZE ZORDER. A
+    range-partitioned write on zval (sink side) then gives every file a
+    tight min/max envelope on BOTH columns, so predicates on either one
+    prune files; a plain sort on (partkey, suppkey) only prunes the
+    leading column.
+
+    The key computation is a pure narrow projection (integer shifts
+    expressed as DIV/MOD — whole-stage codegen, no shuffle); zbucket
+    (top 6 bits, 64 ranges) is the file-assignment a
+    ``repartitionByRange(zval)`` writer would produce. At 100 TB the
+    only heavy step is the range write itself — same cost class as any
+    global sort, paid once at layout time, repaid on every scan."""
+    li = table(spark, sf_dir, "lineitem")
+    z = F.expr(f"CAST({_z_interleave('DIV')} AS BIGINT)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        z.alias("zval"),
+        F.expr(f"CAST(({_z_interleave('DIV')}) DIV 67108864 AS BIGINT)").alias(
+            "zbucket"
+        ),
+    )

@@ -338,3 +338,46 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id", "event_id", F.sum("is_new").over(w2).alias("session_seq")
     )
+
+
+@register(
+    "ts_fill_forward",
+    group="W",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(gapped IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gapped
+      FROM events
+    )
+    """,
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward) — the standard
+    repair for missing sensor/metric readings before any time-series
+    aggregation. Gaps are injected deterministically (every 7th event
+    id) so both engines fill the same holes; the fill itself is
+    ``last(..., ignorenulls)`` over a running row frame — exactly the
+    single-shuffle pattern join_asof uses, here per user stream.
+
+    No arithmetic touches the carried value, so doubles pass through
+    bit-identical — no rounding needed for the cross-engine hash.
+    Leading NULLs (a user whose first readings are gaps) stay NULL on
+    both engines by definition of the frame."""
+    e = table(spark, sf_dir, "events")
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(gapped, ignorenulls=True).over(w).alias("filled_value"),
+    )
