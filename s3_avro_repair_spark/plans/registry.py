@@ -52,6 +52,7 @@ _OP_MODULES = [
     "s3_avro_repair_spark.operators.composite",     # Q (composite queries)
     "s3_avro_repair_spark.operators.llm_pipeline",  # L (corpus management)
     "s3_avro_repair_spark.operators.graph",         # C (graph analytics)
+    "s3_avro_repair_spark.operators.subqueries",    # P (subquery surface)
     "s3_avro_repair_spark.operators.udfs",          # U
     "s3_avro_repair_spark.sources.scans",           # S
     "s3_avro_repair_spark.sources.avro_pipeline",   # E

@@ -158,3 +158,19 @@ def test_q_group_plan_shapes(spark, sf_dir):
     top20 = _OPS["q_returned_items"].fn(spark, sf_dir)
     plan = top20._jdf.queryExecution().sparkPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_subquery_decorrelation_plans(spark, sf_dir):
+    """Subquery ops must decorrelate: IN -> semi join, NOT EXISTS ->
+    anti join, never a per-row re-execution (no nested loops beyond a
+    bounded broadcast)."""
+    plan = (
+        _OPS["filter_in_subquery"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    plan = (
+        _OPS["filter_not_exists"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan
