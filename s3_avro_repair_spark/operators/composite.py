@@ -305,3 +305,83 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "q_nation_volume",
+    group="Q",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_SQL_REVENUE}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade — revenue
+    between two named nations in both directions, by ship year. The
+    supplier arm and customer arm each resolve to a nation name via
+    broadcast dim joins; the disjunctive pair predicate applies after
+    both arms land on the fact row.
+
+    Scale posture: the nation filter REACHES the dims before any fact
+    work — supplier and customer shrink to two nations' worth before
+    their broadcast joins — so the fact rows that survive the supplier
+    semi-filter are the only ones carried into the orders join. Year
+    extraction is codegen; the final aggregate is 2 directions × a few
+    years of groups."""
+    n = table(spark, sf_dir, "nation")
+    pair = ["NATION_18", "NATION_19"]
+    n_small = n.filter(F.col("n_name").isin(pair))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n_small.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n_small.select(
+                    F.col("n_nationkey").alias("nk2"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_revenue())
+    )

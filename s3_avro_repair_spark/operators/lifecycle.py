@@ -511,3 +511,87 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id"
         ),
     )
+
+
+@register(
+    "merge_intervals",
+    group="C",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_us, MAX(e) AS end_us, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: each event opens a 30-minute activity
+    interval; overlapping/touching intervals per user merge into
+    maximal covering windows (downtime stitching, session coverage,
+    on-call dedup — the complement of scd2_intervals, which SPLITS
+    time). Classic gaps-and-islands: an interval starts a new island
+    iff its start exceeds the running max end of everything before it;
+    the island id is the running count of such starts.
+
+    Two window passes and the final aggregate all share one shuffle on
+    user_id (same partitioning, Catalyst reuses the exchange). Ties on
+    identical timestamps are ordered by event_id so both engines walk
+    the same sequence. At 100 TB this is the same single-key-shuffle
+    class as window_sessionize; per-user streams are bounded by
+    retention, not corpus size."""
+    e = table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s"),
+        (s_us + F.lit(1800000000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island"),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
