@@ -422,3 +422,38 @@ def scan_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars"
         ),
     )
+
+
+@register(
+    "scan_observed",
+    group="S",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 25
+    """,
+)
+def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with ``observe`` metrics: rows-scanned and total quantity
+    are accumulated DURING the pass (named observation `scan_metrics`),
+    so pipeline accounting costs zero extra jobs — the anti-pattern it
+    replaces is the separate `.count()` pass that re-reads the input.
+    This is the engine-side analog of the reference's per-file progress
+    bar (`/root/reference/src/helpers/progress-bar.ts`): monitoring as
+    a side channel of the real work, not a second pass.
+
+    The observe node is a pass-through for rows (the oracle sees the
+    plain filtered scan); metrics surface post-action via the query
+    execution's observedMetrics — asserted exact in
+    tests/test_quality.py. The filter stays below the observation so
+    the metrics describe the WHOLE scan, not the filtered remainder:
+    observation before pushdown-able filters pins the scan-level
+    numbers a 100 TB audit needs (bytes billed vs rows delivered)."""
+    li = table(spark, sf_dir, "lineitem")
+    observed = li.observe(
+        "scan_metrics",
+        F.count(F.lit(1)).alias("rows_scanned"),
+        dsum("l_quantity", "qty_total"),
+    )
+    return observed.filter(F.col("l_quantity") > 25).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -174,3 +174,18 @@ def test_subquery_decorrelation_plans(spark, sf_dir):
         ._jdf.queryExecution().sparkPlan().toString()
     )
     assert "LeftAnti" in plan, plan
+
+
+def test_scan_observed_metrics_exact(spark, sf_dir, duck):
+    """scan_observed's side-channel metrics must equal the exact
+    full-scan aggregates (the observation sits above the scan, below
+    the filter)."""
+    df = _OPS["scan_observed"].fn(spark, sf_dir)
+    df.collect()
+    metrics = df._jdf.queryExecution().observedMetrics()
+    row = metrics.get("scan_metrics").get()
+    exact = duck.execute(
+        "SELECT COUNT(*), SUM(l_quantity) FROM lineitem"
+    ).fetchone()
+    assert row.getLong(0) == exact[0]
+    assert abs(row.getDouble(1) - float(exact[1])) < 1e-6
