@@ -457,3 +457,64 @@ def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observed.filter(F.col("l_quantity") > 25).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+def _ensure_orc_fixture(sf_dir: str) -> str:
+    """ORC rendition of (o_orderkey, o_orderstatus, o_totalprice) —
+    same versioned-cache discipline as ensure_text_fixtures (_orc_v1)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyarrow import orc as pa_orc
+
+    from .avro_pipeline import _CACHE_ROOT
+
+    root = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_orc_v1"
+    )
+    if os.path.isdir(root):
+        return root
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".orc_fixture_", dir=_CACHE_ROOT)
+    try:
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+        )
+        pa_orc.write_table(t, os.path.join(tmp, "orders.orc"))
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            pass  # concurrent generator won; equivalent tree
+        return root
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "scan_orc",
+    group="S",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan — the other columnar container (stripe/row-group
+    indexed, predicate pushdown, column pruning — same scan contract as
+    parquet through a different codec). Completes the format matrix:
+    one logical table hash-matched through parquet, JSONL, CSV, Avro,
+    and ORC physical encodings, which is exactly the guarantee a
+    migration between formats needs. Spark's vectorized ORC reader
+    keeps this scan whole-stage-codegen like the parquet path."""
+    root = _ensure_orc_fixture(sf_dir)
+    df = spark.read.orc(f"{root}/orders.orc")
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total_price"),
+    )
