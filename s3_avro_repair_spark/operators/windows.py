@@ -115,7 +115,11 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     local = ranged.withColumn("local_sum", F.sum(dec2("l_quantity")).over(w_local))
     # <= 16 x 3 rows: the prefix-offset side table is always tiny.
-    totals = local.groupBy("pid", "l_returnflag").agg(
+    # Derived from `ranged`, NOT `local`: the chunk totals don't need
+    # the window, and the shared range-exchange is reused (AQE stage
+    # reuse), so this branch costs one cheap hash agg instead of a
+    # second window sort.
+    totals = ranged.groupBy("pid", "l_returnflag").agg(
         F.sum(dec2("l_quantity")).alias("chunk_total")
     )
     w_prefix = (
