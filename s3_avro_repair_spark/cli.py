@@ -1,0 +1,125 @@
+"""CLI — the reference's interactive run loop as a Spark job.
+
+The reference prompts for (bucket, folder, replace) and then walks the
+object list SEQUENTIALLY: download → sampled validate → repair →
+re-validate → conditional re-upload, aborting the run on the first
+hard error (`/root/reference/src/services/repair-avro.ts:52-104`).
+This CLI keeps that UX contract — point it at a tree of Avro files,
+optionally write repairs back — but executes as ONE distributed job:
+every file is an independent task, a corrupt file is a report row
+instead of a crashed run, and `--replace` commits each repaired file
+atomically (write-to-.tmp + rename, the engine-side analog of the
+reference's delete+swap at :152-153).
+
+    python -m s3_avro_repair_spark.cli --path /data/avro-tree \\
+        [--replace] [--out /data/repaired] [--cpus 8]
+
+Exit code: 0 if every file is healthy or repaired, 2 if any file is
+unrepairable (header destroyed) — the run itself never aborts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import pandas as pd
+
+
+def _build_report(spark, path: str, replace: bool, out_dir: str | None):
+    from .avro_codec import salvage_ocf, write_ocf_bytes
+    from .sources.avro_pipeline import _binary_files
+
+    files = _binary_files(spark, path)
+    n_files = files.count()
+    if n_files == 0:
+        return None, 0
+    files = files.repartition(min(n_files, 256), "path")
+
+    def process(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
+                res = salvage_ocf(bytes(content))
+                if res.healthy:
+                    status, written = "healthy", ""
+                elif not res.header_ok:
+                    status, written = "unrepairable", ""
+                else:
+                    status = "repaired"
+                    written = ""
+                    if replace or out_dir:
+                        repaired = write_ocf_bytes(res.schema, res.records)
+                        target = (
+                            local
+                            if replace
+                            else os.path.join(out_dir, os.path.basename(local))
+                        )
+                        tmp = target + ".tmp"
+                        with open(tmp, "wb") as fo:
+                            fo.write(repaired)
+                        os.replace(tmp, target)  # atomic commit per file
+                        written = target
+                rows.append(
+                    {
+                        "file": os.path.basename(local),
+                        "status": status,
+                        "blocks_ok": res.n_blocks_ok,
+                        "blocks_resynced": res.n_blocks_resynced,
+                        "blocks_lost": res.n_blocks_bad,
+                        "records_salvaged": len(res.records),
+                        "written_to": written,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    report = files.select("path", "content").mapInPandas(
+        process,
+        schema=(
+            "file string, status string, blocks_ok long, blocks_resynced long,"
+            " blocks_lost long, records_salvaged long, written_to string"
+        ),
+    )
+    return report, n_files
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="s3_avro_repair_spark",
+        description="Validate / repair a tree of Avro container files as a Spark job.",
+    )
+    ap.add_argument("--path", required=True, help="directory (searched recursively) of .avro files")
+    ap.add_argument(
+        "--replace",
+        action="store_true",
+        help="write repaired files back over the originals (reference's replace=true)",
+    )
+    ap.add_argument("--out", default=None, help="write repaired copies here instead of in place")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args(argv)
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    from .session import get_session
+
+    spark = get_session("avro-repair-cli", master=f"local[{args.cpus}]")
+    report, n_files = _build_report(spark, args.path, args.replace, args.out)
+    if report is None:
+        print(f"no .avro files under {args.path}", file=sys.stderr)
+        return 1
+    rows = report.toPandas().sort_values("file")
+    with pd.option_context("display.max_rows", None, "display.width", 200):
+        print(rows.to_string(index=False))
+    counts = rows["status"].value_counts().to_dict()
+    print(
+        f"\n{n_files} files: "
+        + ", ".join(f"{counts.get(s, 0)} {s}" for s in ("healthy", "repaired", "unrepairable"))
+    )
+    return 2 if counts.get("unrepairable", 0) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
