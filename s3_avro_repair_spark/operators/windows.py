@@ -157,26 +157,48 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-range frame: count of rows whose quantity lies within 5
-    units below the current row's quantity.
+    """Value-range frame via DISTRIBUTED value buckets + halo copies.
 
-    Scale note: partitions on 3-value l_returnflag like the oracle
-    demands. Unlike ROWS frames (see window_running's two-phase
-    rewrite), a RANGE frame's window can straddle a chunk boundary by
-    VALUE, so the distributed form needs per-chunk value histograms
-    broadcast to neighbors — at 100x, pre-bucket by quantity range so
-    each task owns a closed value interval plus a 5-unit halo."""
-    li = table(spark, sf_dir, "lineitem")
+    Count of rows whose quantity lies within 5 units below the current
+    row's quantity. The naive plan windows over 3-value
+    ``l_returnflag``, so one task owns a third of the table at any
+    scale. Unlike ROWS frames (window_running's chunked prefix sums), a
+    RANGE frame straddles chunk boundaries by VALUE — so chunk by value:
+    bucket rows on ``floor(l_quantity / 5)``. Because the bucket width
+    equals the frame width, every frame ``[q-5, q]`` is contained in
+    the row's own bucket plus the one below. Explode each row into its
+    bucket (real) and the bucket above (halo copy), run the identical
+    RANGE window partitioned by (flag, bucket) — every frame is now
+    complete inside one partition — and keep only the real rows. One
+    generate + one window over 2x rows, no 1/3-of-table straggler; the
+    partition count scales with the value domain instead of the flag
+    cardinality (skewed value ranges can further split on a hashed
+    sub-bucket with wider halos)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    bkt = F.floor(F.col("l_quantity") / F.lit(5)).cast("long")
+    contrib = li.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(bkt.alias("bkt"), F.lit(True).alias("is_real")),
+                F.struct((bkt + 1).alias("bkt"), F.lit(False).alias("is_real")),
+            )
+        ).alias("c"),
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "c.bkt", "c.is_real",
+    )
     w = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy("l_returnflag", "bkt")
         .orderBy("l_quantity")
         .rangeBetween(-5, Window.currentRow)
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.count(F.lit(1)).over(w).alias("n_in_range"),
+    return (
+        contrib.withColumn("n_in_range", F.count(F.lit(1)).over(w))
+        .filter("is_real")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "n_in_range")
     )
 
 

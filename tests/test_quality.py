@@ -42,15 +42,26 @@ def test_ntile_plan_is_partitioned(spark, sf_dir):
     global window."""
     df = _OPS["window_ntile"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # The heavy window runs partitioned by pid; the only global sort is
-    # the range repartition (distributed) and the tiny counts window.
-    assert "partitionBy" not in plan or True  # plan text varies; key check below
     import re
 
     # No Window node may operate over the full input without partitioning:
     # the local row_number window must mention pid in its partition spec.
     win_specs = re.findall(r"Window \[(.*?)\]", plan)
     assert any("pid" in s for s in win_specs), plan
+
+
+def test_range_frame_plan_is_value_bucketed(spark, sf_dir):
+    """window_range_frame must run its RANGE window partitioned by
+    (flag, value-bucket) — a window partitioned only on 3-value
+    l_returnflag pushes a third of the table through one task."""
+    import re
+
+    df = _OPS["window_range_frame"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_specs = re.findall(r"Window \[(.*?)\], \[(.*?)\]", plan)
+    assert win_specs, plan
+    for _funcs, part in win_specs:
+        assert "bkt" in part, f"window partitioned without value bucket: {part}"
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir, duck):
