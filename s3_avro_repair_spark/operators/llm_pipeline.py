@@ -114,38 +114,43 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_stratified",
     group="L",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (
-               PARTITION BY lang
+               PARTITION BY lang, bkt
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
-             COUNT(*) OVER (PARTITION BY lang) AS n
-      FROM documents
+             COUNT(*) OVER (PARTITION BY lang, bkt) AS n
+      FROM (SELECT doc_id, lang, {_DUCK_BUCKET} % 16 AS bkt FROM documents)
     ) WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
     """,
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified 20% sample with EXACT per-stratum counts: within each
-    language, rank rows by key hash (a deterministic shuffle of the
-    stratum) and keep the top ceil(0.2·n). Bernoulli sampling only
-    hits the fraction in expectation — small strata (rare languages!)
-    can come back empty, which is precisely what stratification must
-    prevent in a multilingual corpus.
+    """Stratified 20% sample with EXACT per-sub-stratum counts, over
+    SUB-STRATA (lang, key-hash bucket): within each of a language's 16
+    hash buckets, rank rows by key hash (a deterministic shuffle of the
+    bucket) and keep the top ceil(0.2·n_bucket). Bernoulli sampling
+    only hits the fraction in expectation — small strata (rare
+    languages!) can come back empty, which is precisely what
+    stratification must prevent in a multilingual corpus; the exact
+    per-bucket quota keeps every language represented at 20% ± bucket
+    rounding.
 
-    One shuffle on lang serves both window functions (rank + stratum
-    size share the partitioning). Skew note: strata are language-sized,
-    so a 90%-English corpus puts 90% of rows in one window partition —
-    at 100 TB, sub-stratify (lang, hash-bucket) first, then take
-    ceil(0.2·n_bucket) per sub-stratum: same guarantee, bounded
-    partitions."""
+    Scale shape: the window partitions on (lang, bucket), so a
+    90%-English corpus spreads its dominant stratum over 16 bounded
+    partitions instead of one 90%-of-rows straggler — widen the bucket
+    count with the cluster, the guarantee is per-bucket regardless. One
+    shuffle serves both window functions (rank + bucket size share the
+    partitioning)."""
     d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
+    bkt = (F.expr(_SPARK_BUCKET) % 16).alias("bkt")
+    w = Window.partitionBy("lang", "bkt").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    wn = Window.partitionBy("lang")
+    wn = Window.partitionBy("lang", "bkt")
     return (
-        d.select(
+        d.select("doc_id", "lang", bkt)
+        .select(
             "doc_id",
             "lang",
             F.row_number().over(w).alias("rn"),
@@ -159,48 +164,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_sequences",
     group="L",
-    oracle="""
-    SELECT doc_id, lang, n_tokens,
+    oracle=f"""
+    SELECT doc_id, lang, shard, n_tokens,
            CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
     FROM (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, shard,
              len(string_split(text, ' ')) AS n_tokens,
              SUM(len(string_split(text, ' '))) OVER (
-               PARTITION BY lang ORDER BY doc_id
+               PARTITION BY lang, shard ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING) AS cum
-      FROM documents
+      FROM (SELECT doc_id, lang, text, {_DUCK_BUCKET} % 16 AS shard
+            FROM documents)
     )
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: concatenate documents (per language stream, in
-    doc_id order) and cut the stream into 512-token training packs —
-    each doc labeled with the pack its FIRST token lands in. Packing is
-    how pretraining batches reach full context-length utilization
-    instead of padding; start-offset assignment keeps it a pure window
+    """Sequence packing: concatenate documents (per (language, shard)
+    stream, in doc_id order) and cut each stream into 512-token
+    training packs — each doc labeled with the pack its FIRST token
+    lands in, packs addressed by (lang, shard, pack_id). Packing is how
+    pretraining batches reach full context-length utilization instead
+    of padding; start-offset assignment keeps it a pure window
     expression (running sum → integer-divide by the budget), no
     stateful loop, no UDF.
 
-    One shuffle on lang; the running sum is Spark's standard
-    partial-aggregated window. The 100 TB cure for giant strata is the
-    same sub-stratification as sample_stratified — pack within
-    (lang, shard) streams; packs never cross shards anyway in a real
-    loader."""
+    Scale shape: the stream is sharded by key hash into 16
+    sub-streams per language, so the running-sum window partitions on
+    (lang, shard) — a 90%-English corpus fills 16 bounded partitions,
+    not one straggler. Packs never cross shards in a real loader
+    anyway (each worker consumes its own shard), so the sharded
+    definition is the production semantics, not an approximation. One
+    shuffle on (lang, shard); the running sum is Spark's standard
+    partial-aggregated window."""
     d = table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    shard = (F.expr(_SPARK_BUCKET) % 16).alias("shard")
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return d.select(
+    return d.select("doc_id", "lang", shard, n_tokens.alias("n_tokens")).select(
         "doc_id",
         "lang",
-        n_tokens.alias("n_tokens"),
-        F.sum(n_tokens).over(w).alias("cum"),
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
     ).select(
         "doc_id",
         "lang",
+        "shard",
         "n_tokens",
         F.expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").alias("pack_id"),
     )

@@ -64,6 +64,23 @@ def test_range_frame_plan_is_value_bucketed(spark, sf_dir):
         assert "bkt" in part, f"window partitioned without value bucket: {part}"
 
 
+def test_corpus_windows_are_sub_stratified(spark, sf_dir):
+    """sample_stratified / pack_sequences must window over
+    (lang, hash-bucket) sub-strata — a window partitioned on lang alone
+    puts a 90%-English corpus's dominant stratum in one task."""
+    import re
+
+    for op, bucket_col in (("sample_stratified", "bkt"), ("pack_sequences", "shard")):
+        df = _OPS[op].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        win_specs = re.findall(r"Window \[(.*?)\], \[(.*?)\]", plan)
+        assert win_specs, f"{op}: no window in plan\n{plan}"
+        for _funcs, part in win_specs:
+            assert bucket_col in part, (
+                f"{op}: window partitioned without {bucket_col}: {part}"
+            )
+
+
 def test_approx_percentile_close_to_exact(spark, sf_dir, duck):
     """The GK sketch guarantees rank error <= 1/accuracy; assert the
     approximate percentiles sit within a tolerant value band of
