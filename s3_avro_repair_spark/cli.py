@@ -28,8 +28,14 @@ import pandas as pd
 
 
 def _build_report(spark, path: str, replace: bool, out_dir: str | None):
+    from . import fsio
     from .avro_codec import salvage_ocf, write_ocf_bytes
     from .sources.avro_pipeline import _binary_files
+
+    # Normalized scan root, for composing --out targets that PRESERVE
+    # the path relative to --path (a flat basename layout silently
+    # collapses same-named files from different subdirectories).
+    _, root = fsio.resolve(os.path.abspath(path) if "://" not in path else path)
 
     files = _binary_files(spark, path)
     n_files = files.count()
@@ -38,10 +44,12 @@ def _build_report(spark, path: str, replace: bool, out_dir: str | None):
     files = files.repartition(min(n_files, 256), "path")
 
     def process(batches):
+        import posixpath
+
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
+                fs_, local = fsio.resolve(fpath)
                 res = salvage_ocf(bytes(content))
                 if res.healthy:
                     status, written = "healthy", ""
@@ -52,16 +60,22 @@ def _build_report(spark, path: str, replace: bool, out_dir: str | None):
                     written = ""
                     if replace or out_dir:
                         repaired = write_ocf_bytes(res.schema, res.records)
-                        target = (
-                            local
-                            if replace
-                            else os.path.join(out_dir, os.path.basename(local))
-                        )
-                        tmp = target + ".tmp"
-                        with open(tmp, "wb") as fo:
-                            fo.write(repaired)
-                        os.replace(tmp, target)  # atomic commit per file
-                        written = target
+                        if replace:
+                            # Write back over the original via ITS OWN
+                            # filesystem (the reference's re-upload).
+                            written = fsio.atomic_write_bytes(
+                                local, repaired, filesystem=fs_
+                            )
+                        else:
+                            rel = posixpath.relpath(local, root)
+                            target = fsio.join(out_dir, rel)
+                            out_fs, out_path = fsio.resolve(target)
+                            parent = posixpath.dirname(out_path)
+                            if parent:
+                                out_fs.create_dir(parent, recursive=True)
+                            written = fsio.atomic_write_bytes(
+                                out_path, repaired, filesystem=out_fs
+                            )
                 rows.append(
                     {
                         "file": os.path.basename(local),
@@ -101,7 +115,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.out:
-        os.makedirs(args.out, exist_ok=True)
+        from . import fsio
+
+        fsio.ensure_dir(args.out)
 
     from .session import get_session
 

@@ -255,30 +255,36 @@ def write_avro_dir(
     df: DataFrame, out_dir: str, schema: dict, codec: str = "null"
 ) -> int:
     """Distributed Avro sink: each partition streams its rows into ONE
-    container file, written to ``.tmp`` then atomically renamed — the
-    per-file analog of the reference's delete+rename swap
-    (repair-avro.ts:152-153). Returns number of files written."""
+    container file, committed atomically (tmp + move) — the per-file
+    analog of the reference's delete+rename swap (repair-avro.ts:152-153).
+    All I/O goes through ``fsio`` (pyarrow.fs), so ``out_dir`` may be a
+    local path, ``file://``, ``s3://`` or any URI pyarrow resolves — no
+    executor-local path assumption. Returns number of files written."""
+    from .. import fsio
+
     names = [f["name"] for f in schema["fields"]]
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.ensure_dir(out_dir)
 
     def write(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+        # Executors re-resolve the URI themselves (the FileSystem object
+        # is not shipped); idempotent create_dir guards non-shared FS.
+        fs_, dpath = fsio.resolve(out_dir)
+        fs_.create_dir(dpath, recursive=True)
+        path = fsio.join(dpath, f"part-{pid:05d}.avro")
 
         def recs():
             for pdf in batches:
                 for t in pdf[names].itertuples(index=False):
                     yield dict(zip(names, t))
 
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fo:
-            n = write_ocf(fo, schema, recs(), codec=codec, block_records=1000)
-        if n:
-            os.replace(tmp, path)
-        else:
-            os.remove(tmp)
+        path, n = fsio.atomic_stream_records(
+            path,
+            lambda out: write_ocf(out, schema, recs(), codec=codec, block_records=1000),
+            filesystem=fs_,
+        )
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     report = df.mapInPandas(write, schema="path string, n_records long")
