@@ -259,12 +259,34 @@ def deterministic_sync(schema) -> bytes:
     return hashlib.md5(json.dumps(schema, sort_keys=True).encode()).digest()
 
 
+def _snappy_uncompressed_len(payload: bytes) -> int:
+    """Raw snappy streams lead with a little-endian varint of the
+    uncompressed length (the public snappy format description);
+    pyarrow's decompress API needs that size up front."""
+    n = shift = 0
+    for i, b in enumerate(payload):
+        if i > 9:
+            break
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n
+        shift += 7
+    raise CorruptBlock("snappy preamble: unterminated varint")
+
+
 def _compress(payload: bytes, codec: str) -> bytes:
     if codec == "null":
         return payload
     if codec == "deflate":  # raw RFC-1951, no zlib header (Avro spec)
         c = zlib.compressobj(9, zlib.DEFLATED, -15)
         return c.compress(payload) + c.flush()
+    if codec == "snappy":
+        # Avro spec: raw snappy block + 4-byte BIG-ENDIAN CRC32 of the
+        # UNCOMPRESSED data. pyarrow bundles the snappy library.
+        import pyarrow as pa
+
+        body = pa.compress(payload, codec="snappy", asbytes=True)
+        return body + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
     raise ValueError(f"unsupported codec {codec!r}")
 
 
@@ -276,6 +298,27 @@ def _decompress(payload: bytes, codec: str) -> bytes:
             return zlib.decompress(payload, -15)
         except zlib.error as exc:
             raise CorruptBlock(f"deflate failure: {exc}") from exc
+    if codec == "snappy":
+        import pyarrow as pa
+
+        if len(payload) < 5:
+            raise CorruptBlock("snappy block shorter than preamble+crc")
+        body, crc = payload[:-4], struct.unpack(">I", payload[-4:])[0]
+        try:
+            raw = pa.decompress(
+                body,
+                decompressed_size=_snappy_uncompressed_len(body),
+                codec="snappy",
+                asbytes=True,
+            )
+        except Exception as exc:  # pyarrow raises ArrowInvalid/OSError
+            raise CorruptBlock(f"snappy failure: {exc}") from exc
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            # The one codec whose blocks are checksummed: payload-only
+            # damage (undetectable under null/deflate structure walks)
+            # is caught here.
+            raise CorruptBlock("snappy crc32 mismatch")
+        return raw
     raise CorruptHeader(f"unsupported codec {codec!r}")
 
 

@@ -57,6 +57,17 @@ ORDERS_SCHEMA = {
     ],
 }
 ORDERS_COLS = [f["name"] for f in ORDERS_SCHEMA["fields"]]
+# The previous generation of the writer schema (mixed/ fixture tree):
+# same record name, no o_orderstatus / o_orderdate yet.
+OLD_ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "order",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_custkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+    ],
+}
 ORDERS_SPARK_SCHEMA = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
     "o_totalprice double, o_orderdate_us long"
@@ -65,6 +76,19 @@ N_FILES = 8
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CACHE_ROOT = os.path.join(_REPO_ROOT, ".avro_cache")
+
+
+def scratch_dir(name: str) -> str:
+    """One REUSED scratch path per op (``.avro_cache/.scratch/<name>``),
+    emptied on each call — sinks and round-trip ops write here instead
+    of leaking a fresh ``mkdtemp`` per invocation under repeated
+    bench/pytest runs."""
+    import shutil
+
+    path = os.path.join(_CACHE_ROOT, ".scratch", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -139,10 +163,16 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
     - ``corrupt/orders_{0..7}.avro``    — files 1-4 deterministically
       injured (truncate mid-block / byte flips / clobbered sync /
       damaged header), the rest byte-identical to clean
+    - ``snappy/orders_{0..7}.avro``     — same content, snappy codec
+      (the codec that dominates real Avro fleets)
+    - ``mixed/orders_{0..7}.avro``      — files 0-3 written with an OLD
+      3-field writer schema, 4-7 with the current 5-field one: the
+      normal state of a years-old S3 prefix
     """
-    # v2: bump when fixture layout / injection code changes so stale
+    # v3: bump when fixture layout / injection code changes so stale
     # cached trees from earlier rounds can never leak into results.
-    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v2")
+    # (v3: added snappy/ and mixed/ generations.)
+    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v3")
     if os.path.isdir(root):
         return root
     os.makedirs(_CACHE_ROOT, exist_ok=True)
@@ -153,21 +183,39 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
         clean_dir = os.path.join(tmp, "clean")
         part_dir = os.path.join(tmp, "partitioned")
         corrupt_dir = os.path.join(tmp, "corrupt")
+        snappy_dir = os.path.join(tmp, "snappy")
+        mixed_dir = os.path.join(tmp, "mixed")
         os.makedirs(clean_dir)
         os.makedirs(corrupt_dir)
+        os.makedirs(snappy_dir)
+        os.makedirs(mixed_dir)
+
+        import io
+
+        def ocf_bytes(part, schema, cols, codec):
+            recs = (dict(zip(cols, t)) for t in part[cols].itertuples(index=False))
+            bio = io.BytesIO()
+            write_ocf(bio, schema, recs, codec=codec, block_records=100)
+            return bio.getvalue()
 
         clean_bytes: dict[int, bytes] = {}
         bucket = (df["o_orderkey"] % N_FILES).to_numpy()
+        old_cols = [f["name"] for f in OLD_ORDERS_SCHEMA["fields"]]
         for i in range(N_FILES):
             part = df[bucket == i]
-            recs = (dict(zip(ORDERS_COLS, t)) for t in part.itertuples(index=False))
-            import io
-
-            bio = io.BytesIO()
-            write_ocf(bio, ORDERS_SCHEMA, recs, codec="null", block_records=100)
-            clean_bytes[i] = bio.getvalue()
+            clean_bytes[i] = ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "null")
             with open(os.path.join(clean_dir, f"orders_{i}.avro"), "wb") as fo:
                 fo.write(clean_bytes[i])
+            with open(os.path.join(snappy_dir, f"orders_{i}.avro"), "wb") as fo:
+                fo.write(ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "snappy"))
+            # mixed generations: first half of the fleet predates the
+            # o_orderstatus / o_orderdate columns
+            if i < N_FILES // 2:
+                mixed = ocf_bytes(part, OLD_ORDERS_SCHEMA, old_cols, "null")
+            else:
+                mixed = ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "snappy")
+            with open(os.path.join(mixed_dir, f"orders_{i}.avro"), "wb") as fo:
+                fo.write(mixed)
 
         for i in range(N_FILES):
             data = clean_bytes[i]
@@ -334,6 +382,83 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro_dir(
         spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA,
         n_tasks=N_FILES,
+    )
+
+
+@register(
+    "avro_scan_snappy",
+    group="E",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+    FROM orders
+    """,
+)
+def avro_scan_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snappy-codec container scan — the codec that dominates real Avro
+    fleets (avro-tools, the reference's engine, reads it natively;
+    repair-avro.ts:21). The repo codec implements the Avro spec's
+    snappy framing (raw snappy + big-endian CRC32 of the uncompressed
+    block) over pyarrow's bundled snappy — the only codec whose blocks
+    are checksummed, so silent payload damage is detectable here and
+    nowhere else. Hash-checked against the parquet ground truth."""
+    root = ensure_avro_fixtures(sf_dir)
+    return read_avro_dir(
+        spark, os.path.join(root, "snappy"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA,
+        n_tasks=N_FILES,
+    )
+
+
+MIXED_READER_SCHEMA = {
+    "type": "record",
+    "name": "order",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {"name": "o_totalprice", "type": "double"},
+        # absent from generation-1 files -> default; present in gen-2
+        {"name": "o_orderstatus", "type": "string", "default": "NA"},
+    ],
+}
+
+
+@register(
+    "avro_scan_mixed",
+    group="E",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 8 >= {N_FILES // 2} THEN o_orderstatus
+                ELSE 'NA' END AS o_orderstatus
+    FROM orders
+    """,
+)
+def avro_scan_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-schema tree scan: one pass over a directory whose
+    files were written YEARS apart with different writer schemas (and
+    codecs — gen-1 null, gen-2 snappy), each file self-describing, each
+    resolved to TODAY'S reader schema per the Avro spec's Schema
+    Resolution rules. This is the reference's schema-agnostic read
+    (avro-tools just reads whatever the file declares,
+    repair-avro.ts:131) generalized to a typed DataFrame: gen-1 files
+    lack o_orderstatus so the reader default fills it; both generations
+    skip their reader-unknown fields byte-exactly. The normal state of
+    a years-old S3 prefix — scanned in ONE distributed pass, no
+    per-generation manifest needed."""
+    root = ensure_avro_fixtures(sf_dir)
+    names = [f["name"] for f in MIXED_READER_SCHEMA["fields"]]
+
+    def decode(batches):
+        from ..avro_codec import read_ocf_resolved
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = read_ocf_resolved(bytes(content), MIXED_READER_SCHEMA)
+                if recs:
+                    yield pd.DataFrame(recs, columns=names)
+        yield pd.DataFrame({n: [] for n in names})
+
+    bf = _binary_files(spark, os.path.join(root, "mixed"), n_tasks=N_FILES)
+    return bf.select("content").mapInPandas(
+        decode, schema="o_orderkey long, o_totalprice double, o_orderstatus string"
     )
 
 

@@ -60,7 +60,7 @@ RECS = mkrecs(1000)
 BLOCK = 100  # records per block -> 10 blocks
 
 
-@pytest.fixture(scope="module", params=["null", "deflate"])
+@pytest.fixture(scope="module", params=["null", "deflate", "snappy"])
 def data(request):
     return write_ocf_bytes(SCHEMA, RECS, codec=request.param, block_records=BLOCK)
 
@@ -177,7 +177,7 @@ def test_property_roundtrip(rows):
         ],
     }
     recs = [dict(zip("asdu", r)) for r in rows]
-    for codec in ("null", "deflate"):
+    for codec in ("null", "deflate", "snappy"):
         _, back = read_ocf(
             write_ocf_bytes(schema, recs, codec=codec, block_records=7)
         )
