@@ -310,25 +310,50 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py asserts the dynamicpruning expression is in
     the physical plan. The max-key anchor keeps the selected set
     deterministic at every fixture scale."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="dpp_fact_")
+    fact = spark.read.parquet(_ensure_dpp_fact(spark, sf_dir))
     o = table(spark, sf_dir, "orders")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    fact = spark.read.parquet(out)
     # DPP's planner rule wants the classic shape: a selective filter on
-    # a NON-join dim column. The filter value is a scalar aggregate
-    # (driver-fetched literal on maxk), but the qualifying STATUSES
-    # still require executing the dim at runtime — exactly what the
-    # dynamic pruning subquery does.
-    overall_max = o.agg(F.max("o_orderkey")).first()[0]
-    dim = (
-        o.groupBy("o_orderstatus")
-        .agg(F.max("o_orderkey").alias("maxk"))
-        .filter(F.col("maxk") == overall_max)
-        .select("o_orderstatus")
+    # a NON-join dim column. The max-key anchor is an in-plan scalar
+    # subquery (no driver action), but the qualifying STATUSES still
+    # require executing the dim at runtime — exactly what the dynamic
+    # pruning subquery does.
+    dim = spark.sql(
+        """
+        SELECT o_orderstatus FROM {o}
+        GROUP BY o_orderstatus
+        HAVING MAX(o_orderkey) = (SELECT MAX(o_orderkey) FROM {o2})
+        """,
+        o=o, o2=o,
     )
     return (
         fact.join(F.broadcast(dim), "o_orderstatus")
         .select("o_orderkey", "o_totalprice")
     )
+
+
+def _ensure_dpp_fact(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned orders layout for the DPP demo, built once per
+    sf_dir into the versioned fixture cache (same discipline as
+    ensure_avro_fixtures) — the layout is a FIXTURE, not per-call work."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro_pipeline import _CACHE_ROOT
+
+    root = os.path.join(
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_dppfact_v1"
+    )
+    if os.path.isdir(root):
+        return os.path.join(root, "orders_by_status")
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".dpp_fact_", dir=_CACHE_ROOT)
+    try:
+        out = os.path.join(tmp, "orders_by_status")
+        table(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
+    return os.path.join(root, "orders_by_status")

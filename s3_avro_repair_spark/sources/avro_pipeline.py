@@ -586,7 +586,7 @@ def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2A's latent defect). DataFrame -> deflate-compressed container
     files (one per partition, tmp + atomic rename) -> strict re-scan ->
     aggregate, hash-checked against the source-of-truth parquet."""
-    out = tempfile.mkdtemp(prefix="avro_rewrite_")
+    out = scratch_dir("avro_rewrite")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -744,7 +744,7 @@ def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "clean"), ORDERS_SCHEMA, ORDERS_SPARK_SCHEMA,
         n_tasks=N_FILES,
     )
-    out = tempfile.mkdtemp(prefix="avro_compact_")
+    out = scratch_dir("avro_compact")
     compact_schema = {
         "type": "record",
         "name": "order_c",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..exprs import dsum
 from ..plans.registry import register
 from ..tables import table
+from .avro_pipeline import scratch_dir
 
 
 @register(
@@ -95,7 +96,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-to-temp + atomic-rename semantics the reference hand-rolls
     (repair-avro.ts:152-153).
     """
-    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    out = scratch_dir("sink_parquet")
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
@@ -125,7 +126,7 @@ def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .avro_pipeline import read_avro_dir, write_avro_dir
 
-    out = tempfile.mkdtemp(prefix="sink_avro_")
+    out = scratch_dir("sink_avro")
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
     schema = {
         "type": "record",
@@ -309,8 +310,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     shred and the target are deterministic. At 100 TB the target count
     is ceil(partition_bytes / 128MB) per partition and compaction runs
     partition-by-partition, never whole-table."""
-    small = tempfile.mkdtemp(prefix="compact_small_")
-    compacted = tempfile.mkdtemp(prefix="compact_out_")
+    small = scratch_dir("compact_small")
+    compacted = scratch_dir("compact_out")
     d = table(spark, sf_dir, "documents")
     d.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(small)
     back = spark.read.parquet(small)
@@ -348,7 +349,7 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     file schemas), and the reality of any table written over years.
     At 100 TB, mergeSchema's footer-union pass is driver-side cost per
     file — pin the schema in a metastore and pay it once, not per read."""
-    out = tempfile.mkdtemp(prefix="schema_merge_")
+    out = scratch_dir("schema_merge")
     d = table(spark, sf_dir, "documents")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
