@@ -114,6 +114,30 @@ def _schema_type(schema) -> str:
     return schema["type"]
 
 
+def _union_branch_matches(branch, val) -> bool:
+    """True when the Python value can encode under this union branch."""
+    bt = _schema_type(branch)
+    if val is None:
+        return bt == "null"
+    if isinstance(val, bool):
+        return bt == "boolean"
+    if isinstance(val, int):
+        return bt in ("int", "long")
+    if isinstance(val, float):
+        return bt in ("float", "double")
+    if isinstance(val, str):
+        return bt == "string" or (
+            bt == "enum" and val in branch.get("symbols", ())
+        )
+    if isinstance(val, (bytes, bytearray)):
+        return bt == "bytes" or (bt == "fixed" and len(val) == branch["size"])
+    if isinstance(val, dict):
+        return bt in ("record", "map")
+    if isinstance(val, (list, tuple)):
+        return bt == "array"
+    return False
+
+
 def encode_value(schema, val, out: bytearray) -> None:
     t = _schema_type(schema)
     if t == "null":
@@ -147,9 +171,12 @@ def encode_value(schema, val, out: bytearray) -> None:
                 encode_value(schema["values"], v, out)
         _encode_long(0, out)
     elif t == "union":
+        # Branch selection matches the Python value TYPE against each
+        # branch schema (first match wins, the Avro library convention)
+        # — a null-vs-non-null test alone mis-encodes unions with more
+        # than one non-null branch, e.g. ['null','string','long'].
         for i, branch in enumerate(schema):
-            bt = _schema_type(branch)
-            if (val is None) == (bt == "null"):
+            if _union_branch_matches(branch, val):
                 _encode_long(i, out)
                 encode_value(branch, val, out)
                 return
@@ -620,6 +647,42 @@ def decode_resolved(writer, reader, buf: bytes, pos: int):
             for _ in range(count):
                 item, pos = decode_resolved(writer["items"], reader["items"], buf, pos)
                 items.append(item)
+    if wt == "map" and rt == "map":
+        entries = {}
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return entries, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            if count > MAX_BLOCK_RECORDS:
+                raise CorruptBlock("map count out of bounds")
+            for _ in range(count):
+                kraw, pos = _read_sized(buf, pos)
+                entries[kraw.decode("utf-8")], pos = decode_resolved(
+                    writer["values"], reader["values"], buf, pos
+                )
+    if wt == "enum" and rt == "enum":
+        # spec: match by symbol NAME against the reader's symbol list;
+        # a writer symbol the reader lacks resolves to the reader's
+        # declared enum default (Avro 1.9+) or errors loudly.
+        idx, pos = _read_long(buf, pos)
+        wsyms = writer["symbols"]
+        if not 0 <= idx < len(wsyms):
+            raise CorruptBlock(f"enum index {idx} out of range")
+        sym = wsyms[idx]
+        if sym in reader["symbols"]:
+            return sym, pos
+        if "default" in reader:
+            return reader["default"], pos
+        raise SchemaResolutionError(
+            f"writer enum symbol {sym!r} absent from reader (no default)"
+        )
+    if wt == "fixed" and rt == "fixed":
+        if writer["size"] != reader["size"]:
+            raise SchemaResolutionError("fixed size mismatch between schemas")
+        return decode_value(writer, buf, pos)
     if wt == rt or rt in _PROMOTIONS.get(wt, ()):  # identity or promotion
         val, pos = decode_value(writer, buf, pos)
         if rt in ("float", "double") and wt in ("int", "long"):

@@ -524,7 +524,7 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > MAX(e) OVER (
                PARTITION BY user_id ORDER BY s, e, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -534,7 +534,7 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
       SELECT user_id, s, e,
              SUM(new_island) OVER (
-               PARTITION BY user_id ORDER BY s, e
+               PARTITION BY user_id ORDER BY s, e, event_id
                ROWS UNBOUNDED PRECEDING) AS island
       FROM marked
     )
@@ -573,15 +573,19 @@ def merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marked = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.col("s") > F.max("e").over(w_prev), 1)
         .otherwise(0)
         .alias("new_island"),
     )
+    # event_id tiebreak on BOTH windows (and both engines): two events
+    # at one timestamp straddling an island boundary must land in the
+    # same island regardless of engine tie order.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = marked.select(

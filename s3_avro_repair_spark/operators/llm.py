@@ -132,7 +132,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             F.explode(
                 F.expr(
-                    "array_distinct(transform(slice(tokens, 1, size(tokens)-2),"
+                    "array_distinct(transform(slice(tokens, 1, greatest(size(tokens)-2, 0)),"
                     " (t, i) -> concat_ws(' ', t, tokens[i+1], tokens[i+2])))"
                 )
             ),

@@ -90,7 +90,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join, so corpus rows are never shuffled at all."""
     d = table(spark, sf_dir, "documents")
     grams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
+        "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
         " (t, i) -> concat_ws(' ', t, split(text, ' ')[i + 1],"
         " split(text, ' ')[i + 2]))"
     )

@@ -255,6 +255,65 @@ def test_schema_resolution_skip_default_promote():
         read_ocf_resolved(data, nr)
 
 
+def test_multi_branch_union_encodes_by_type():
+    """Unions with several non-null branches pick the branch matching
+    the Python value TYPE, not just null-vs-non-null (Avro library
+    convention; a first-non-null rule would mis-encode these)."""
+    schema = {
+        "type": "record",
+        "name": "m",
+        "fields": [{"name": "v", "type": ["null", "string", "long", "boolean"]}],
+    }
+    vals = [None, "txt", 42, True, "", 0, False]
+    _, back = read_ocf(
+        write_ocf_bytes(schema, [{"v": v} for v in vals], block_records=3)
+    )
+    assert [r["v"] for r in back] == vals
+    # a value no branch accepts must refuse at write time
+    with pytest.raises(ValueError):
+        write_ocf_bytes(schema, [{"v": 1.5}])
+
+
+def test_resolution_map_values_and_enum_symbols():
+    """Schema Resolution for the shapes that used to fall through to
+    identity decoding: map value promotion and enum symbol matching
+    by NAME (with reader default for removed symbols)."""
+    from s3_avro_repair_spark.avro_codec import (
+        SchemaResolutionError,
+        read_ocf_resolved,
+        write_ocf_bytes,
+    )
+
+    # map<int> -> map<double> value promotion
+    mw = {"type": "record", "name": "m", "fields": [
+        {"name": "kv", "type": {"type": "map", "values": "int"}}]}
+    mr = {"type": "record", "name": "m", "fields": [
+        {"name": "kv", "type": {"type": "map", "values": "double"}}]}
+    d = write_ocf_bytes(mw, [{"kv": {"a": 1, "b": 2}}, {"kv": {}}])
+    out = read_ocf_resolved(d, mr)
+    assert out[0]["kv"] == {"a": 1.0, "b": 2.0}
+    assert all(isinstance(v, float) for v in out[0]["kv"].values())
+    assert out[1]["kv"] == {}
+
+    # enum: writer symbol list reordered -> resolve by NAME
+    ew = {"type": "record", "name": "e", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "col",
+                               "symbols": ["RED", "GREEN", "BLUE"]}}]}
+    er_reordered = {"type": "record", "name": "e", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "col",
+                               "symbols": ["BLUE", "RED"], "default": "RED"}}]}
+    d2 = write_ocf_bytes(ew, [{"c": "BLUE"}, {"c": "GREEN"}, {"c": "RED"}])
+    out2 = [r["c"] for r in read_ocf_resolved(d2, er_reordered)]
+    assert out2 == ["BLUE", "RED", "RED"]  # GREEN -> reader default
+
+    # removed symbol with NO reader default must refuse
+    er_strict = {"type": "record", "name": "e", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "col",
+                               "symbols": ["BLUE", "RED"]}}]}
+    with pytest.raises(SchemaResolutionError):
+        read_ocf_resolved(d2, er_strict)
+
+
 def test_block_stats_matches_full_decode(data):
     from s3_avro_repair_spark.avro_codec import block_stats
 
