@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import dec2
+from ..exprs import dec2, dsum
 from ..plans.registry import register
 from ..tables import table
 
@@ -384,4 +384,148 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(_revenue())
+    )
+
+
+@register(
+    "q_promo_revenue",
+    group="Q",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    )
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 4) AS promo_pct
+    FROM j
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one month of lineitem ⋈ part,
+    percentage of revenue from promo-typed parts. The shape is a
+    conditional-aggregate ratio over a broadcast join: part (dim)
+    broadcasts, the month filter pushes to the fact scan, and BOTH sums
+    come out of ONE partial-aggregate pass (a CASE inside one agg, not
+    two scans). Numerator/denominator are exact decimal sums; only the
+    final ratio is double division, rounded on both engines.
+
+    (Fixture p_type holds plain category words — 'PROMO', 'ECONOMY', … —
+    so the predicate is equality, not TPC-H's 'PROMO%' LIKE.)"""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("promo").cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q_disjunctive_revenue",
+    group="Q",
+    oracle=f"""
+    SELECT {_SQL_REVENUE}, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 5  AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+    spanning BOTH join sides. The planner test built into the shape:
+    Catalyst must derive the single-side implications of the
+    disjunction — part rows outside all three brand/size envelopes and
+    lineitem rows outside the quantity hull are droppable BEFORE the
+    join (constraint propagation over a disjunction), with the full
+    cross-side predicate re-checked after. part stays broadcast-sized;
+    at 100 TB the derived lineitem filter is what keeps the probe side
+    scan-bound instead of join-bound."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#3") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#14") & s.between(5, 25) & q.between(10, 20))
+        | ((b == "Brand#25") & s.between(20, 50) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_revenue(), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q_small_qty_parts",
+    group="Q",
+    oracle="""
+    WITH bli AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#3'
+    ),
+    pq AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             COUNT(*) AS cnt
+      FROM bli GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*) AS n_items
+    FROM bli b JOIN pq ON b.l_partkey = pq.l_partkey
+    WHERE 5 * CAST(b.l_quantity AS DECIMAL(18,2)) * cnt < sq
+    """,
+)
+def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): revenue from line items
+    whose quantity is below 20% of their part's average — the classic
+    correlated-aggregate query, decorrelated into aggregate-join-
+    aggregate. The threshold compare is EXACT integer arithmetic:
+    ``qty < 0.2 * avg`` rewritten as ``5·qty·cnt < sum`` over decimals,
+    so no double average can flip a boundary row between engines.
+
+    Plan: the brand's ~80 parts broadcast into lineitem ONCE; the
+    per-part sums (dim-sized) broadcast back into the same filtered
+    fact — the fact table is scanned once, shuffled never. At 100 TB
+    the per-part aggregate is map-side-combined to |parts| rows."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    bli = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    pq = bli.groupBy("l_partkey").agg(
+        F.sum(dec2("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        bli.join(F.broadcast(pq.withColumnRenamed("l_partkey", "pk")),
+                 F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(5) * dec2("l_quantity") * F.col("cnt") < F.col("sq"))
+        .agg(dsum("l_extendedprice", "small_qty_revenue"),
+             F.count(F.lit(1)).alias("n_items"))
     )

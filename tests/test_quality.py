@@ -187,6 +187,17 @@ def test_q_group_plan_shapes(spark, sf_dir):
     plan = top20._jdf.queryExecution().sparkPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
 
+    # Q17 shape: both the brand dim and the per-part aggregate join
+    # back broadcast — the fact side is scanned but never shuffled.
+    q17 = _OPS["q_small_qty_parts"].fn(spark, sf_dir)
+    plan = q17._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    # Q19 shape: part stays broadcast despite the OR-of-ANDs predicate.
+    q19 = _OPS["q_disjunctive_revenue"].fn(spark, sf_dir)
+    plan = q19._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
 
 def test_subquery_decorrelation_plans(spark, sf_dir):
     """Subquery ops must decorrelate: IN -> semi join, NOT EXISTS ->
