@@ -45,6 +45,12 @@ HEADLINE = [
     "q_local_supplier",     # Q group: 6-way broadcast star join
     "q_returned_items",     # Q group: high-cardinality agg + top-k
     "q_corpus_curation",    # Q group: filter -> dedup -> stats one-plan
+    # round 3 additions (kept cheap so the round-over-round total stays
+    # comparable; graph_pagerank at ~5s/10 rounds is deliberately NOT a
+    # headliner — iterative job-scheduling floor, measured separately):
+    "filter_in_subquery",   # P group: semi-join decorrelation
+    "q_small_qty_parts",    # Q group: Q17 decorrelated correlated agg
+    "avro_scan_snappy",     # E group: snappy container decode path
 ]
 
 

@@ -357,3 +357,42 @@ def _ensure_dpp_fact(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost a concurrent race
     return os.path.join(root, "orders_by_status")
+
+
+@register(
+    "join_runtime_filter",
+    group="J",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join — the shuffle-side analog of join_dpp.
+    When the fact table is NOT partitioned on the join key (so DPP has
+    nothing to prune) and the dim side carries a selective filter,
+    Spark's InjectRuntimeFilter builds a bloom filter over the dim's
+    join keys at runtime and pushes a might_contain() probe into the
+    fact SCAN: most fact rows die before the shuffle instead of after
+    it. At 100 TB that is the difference between shuffling the whole
+    fact table and shuffling the ~selectivity fraction that can join.
+
+    The production defaults only engage past a 10 GB probe-side scan;
+    at fixture scale the op lowers that threshold (and disables the
+    broadcast fallback so a shuffle join exists to filter) —
+    tune_for_oracle re-asserts the defaults on every other op, so the
+    override cannot leak. Semantics are unchanged either way, which is
+    exactly the point: same hash, ~selectivity× the shuffle.
+    tests/test_quality.py pins bloom_filter_agg + might_contain in the
+    physical plan."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+    )

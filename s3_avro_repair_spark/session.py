@@ -63,4 +63,13 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Keys some ops override op-locally (join_runtime_filter lowers the
+    # bloom threshold to demo runtime filtering at fixture scale):
+    # re-assert the Spark defaults here so an override can never leak
+    # into the next op's plan.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     return spark

@@ -199,6 +199,16 @@ def test_q_group_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_runtime_bloom_filter_plan(spark, sf_dir):
+    """join_runtime_filter must actually inject the bloom: a
+    bloom_filter_agg build on the dim side and a might_contain probe
+    pushed to the fact scan."""
+    df = _OPS["join_runtime_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+
+
 def test_subquery_decorrelation_plans(spark, sf_dir):
     """Subquery ops must decorrelate: IN -> semi join, NOT EXISTS ->
     anti join, never a per-row re-execution (no nested loops beyond a
