@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..exprs import dec2
+from ..exprs import dec2, dsum
 from ..plans.registry import register
 from ..tables import table
 
@@ -406,4 +406,133 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.last(gapped, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "ts_downsample",
+    group="W",
+    oracle="""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (the hypertable-downsample shape): raw
+    events aggregated to hourly (bucket, type) summary rows — the
+    continuous-aggregate a metrics store serves dashboards from.
+
+    date_trunc runs inside whole-stage codegen, the aggregate is
+    partial-final (map-side combine shrinks each task to its distinct
+    hour×type count BEFORE the shuffle), and the output cardinality is
+    bounded by time-range × types, not event count — at 100 TB the
+    shuffle moves summary rows only. Decimal-exact sums; min/max pass
+    through bit-identical."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "ts_interpolate",
+    group="W",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS gapped
+      FROM events
+    ),
+    n AS (
+      SELECT event_id, user_id, us, gapped,
+             LAST_VALUE(gapped IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+             LAST_VALUE(CASE WHEN gapped IS NOT NULL THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+             FIRST_VALUE(gapped IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+             FIRST_VALUE(CASE WHEN gapped IS NOT NULL THEN us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+      FROM g
+    )
+    SELECT event_id, user_id,
+           CASE WHEN gapped IS NOT NULL THEN gapped
+                WHEN prev_val IS NULL THEN next_val
+                WHEN next_val IS NULL THEN prev_val
+                ELSE ROUND(prev_val + (next_val - prev_val)
+                           * (us - prev_us) / (next_us - prev_us), 4)
+           END AS filled_value
+    FROM n
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gapped readings — ts_fill_forward's
+    smarter sibling: a missing point takes the time-weighted blend of
+    its nearest non-null neighbors instead of a stale carry-forward
+    (edges fall back to the single available side). Same deterministic
+    gap injection (every 7th event id) so both engines repair the same
+    holes.
+
+    All four neighbor lookups share ONE (user_id, ts) partition+order,
+    so Spark plans a single exchange+sort with four frames over it —
+    per-user streams, the window_sessionize scale class. Only the
+    interpolated branch does float division, rounded on both engines;
+    real readings pass through untouched."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    g = e.select("event_id", "user_id", "ts", us.alias("us"), gapped.alias("gapped"))
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    us_if = F.when(F.col("gapped").isNotNull(), F.col("us"))
+    n = g.select(
+        "event_id",
+        "user_id",
+        "us",
+        "gapped",
+        F.last("gapped", ignorenulls=True).over(wprev).alias("prev_val"),
+        F.last(us_if, ignorenulls=True).over(wprev).alias("prev_us"),
+        F.first("gapped", ignorenulls=True).over(wnext).alias("next_val"),
+        F.first(us_if, ignorenulls=True).over(wnext).alias("next_us"),
+    )
+    interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        F.col("us") - F.col("prev_us")
+    ) / (F.col("next_us") - F.col("prev_us"))
+    return n.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("gapped").isNotNull(), F.col("gapped"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(F.round(interp, 4))
+        .alias("filled_value"),
     )
