@@ -529,3 +529,50 @@ def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_extendedprice", "small_qty_revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "q_top_supplier",
+    group="Q",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): one quarter's revenue per
+    supplier, then the supplier(s) hitting the maximum — an
+    aggregate-reused-twice query: the rev relation feeds BOTH the join
+    and the scalar-subquery max, and Catalyst plans it once per use
+    with the same partial-aggregate pipeline. The equality test runs on
+    the EXACT decimal sums (never the double projection), so ties and
+    the max itself are engine-independent. supplier is dim-sized and
+    broadcast; the scalar max broadcasts as a one-row literal plan.
+    At 100 TB only |suppliers| aggregate rows ever shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))).alias("total_rev")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM {s} JOIN {rev} ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM {rev2})
+        """,
+        s=s, rev=rev, rev2=rev,
+    )

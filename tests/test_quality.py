@@ -199,6 +199,27 @@ def test_q_group_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """Filters must reach the parquet scan (PushedFilters) and the scan
+    must read ONLY the projected columns (ReadSchema) — the two free
+    scale levers the declarative plan buys. A scan reading all columns
+    for a narrow projection is a regression this pins."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def formatted(name):
+        df = _OPS[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().explainString(mode)
+
+    ex = formatted("filter_predicate")
+    assert "GreaterThan(l_quantity,30.0)" in ex, ex  # predicate at the scan
+    ex = formatted("project_select")
+    read = next(l for l in ex.splitlines() if "ReadSchema" in l)
+    # 3-column projection -> exactly those columns in the scan schema
+    assert read.count(":") <= 4 and "c_custkey" in read, read
+
+
 def test_runtime_bloom_filter_plan(spark, sf_dir):
     """join_runtime_filter must actually inject the bloom: a
     bloom_filter_agg build on the dim side and a might_contain probe
