@@ -9,7 +9,7 @@ pattern from exprs.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import davg, dec2, dsum, sql_davg, sql_dsum
@@ -396,4 +396,36 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_qty"
             ),
         )
+    )
+
+
+@register(
+    "agg_mode",
+    group="G",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event_type per user) with a
+    DETERMINISTIC tie-break — built-in mode()/max_by() pick an
+    arbitrary winner on count ties, which an oracle-hashed engine can
+    never tolerate, so the op is count → row_number(count DESC, value
+    ASC) → keep first. Two-phase: the groupBy collapses events to
+    (user × type) rows map-side, then the window ranks ≤5 candidate
+    rows per user — the window input is aggregate-sized, not
+    event-sized, at any scale."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )

@@ -576,3 +576,52 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         s=s, rev=rev, rev2=rev,
     )
+
+
+@register(
+    "q_lapsed_customers",
+    group="Q",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                     AS DOUBLE) / COUNT(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with NO recent orders, counted per nation — a scalar
+    aggregate subquery AND a date-filtered NOT EXISTS in one query.
+    The average is the exact-numerator pattern (decimal sum ÷ count,
+    one double division), so the balance cut is engine-independent.
+
+    Plan: the scalar avg is a one-row broadcast; the anti join's right
+    side is orders PRE-FILTERED to the recent window (dim-sized here;
+    at 100 TB a partition-pruned slice of a date-partitioned table
+    — the scan never touches old years), then broadcast; customer is
+    never shuffled at all. Q22's phone-prefix grouping has no fixture
+    analog, so nation stands in."""
+    c = table(spark, sf_dir, "customer")
+    o_recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM {c} c
+        WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                                         AS DOUBLE) / COUNT(*)
+                             FROM {c2} WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM {o} o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+        """,
+        c=c, c2=c, o=o_recent,
+    )

@@ -330,3 +330,58 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("token"), F.col("e.count").alias("n")
     )
+
+
+@register(
+    "dedup_levenshtein",
+    group="X",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, lang,
+             substr(lower(text), 1, 12) AS blk,
+             substr(lower(text), 1, 64) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the character-level complement of
+    the token-level dedup family (typo'd reposts, OCR jitter, template
+    drift that shingles miss). Levenshtein is O(len²) per pair, so two
+    bounds keep it sane: the comparison runs on a 64-char normalized
+    head (never whole documents), and candidate pairs come from a
+    (lang, 12-char-prefix) equality block — a join on the block key,
+    never all-pairs. Same two-stage layout as dedup_ngram_jaccard;
+    prefix blocking's known miss (edits inside the first 12 chars) is
+    the standard trade and the LSH family covers that case.
+
+    Both engines implement textbook Levenshtein, so the distance is
+    hash-exact — no rounding."""
+    d = table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id",
+        "lang",
+        F.substring(F.lower("text"), 1, 12).alias("blk"),
+        F.substring(F.lower("text"), 1, 64).alias("head"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 8)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

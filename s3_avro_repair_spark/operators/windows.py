@@ -536,3 +536,31 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(interp, 4))
         .alias("filled_value"),
     )
+
+
+@register(
+    "window_pct_change",
+    group="W",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND((value - LAG(value) OVER w) / LAG(value) OVER w, 4)
+             AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity percent change between consecutive readings — the
+    metric behind rate-of-change alerting and return series. A plain
+    LAG over the per-user stream: one shuffle on user_id, first reading
+    per user NULL by definition. Division is the only float op, rounded
+    identically on both engines (fixture values are strictly positive,
+    so no zero-denominator branch is needed)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((F.col("value") - prev) / prev, 4).alias("pct_change"),
+    )

@@ -181,3 +181,55 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, stream_root):
     _stream_to_memory(joined.writeStream.outputMode("append"), name)
     got = spark.table(name).toPandas()
     assert _sorted_records(got) == _sorted_records(batch)
+
+
+def test_avro_ingest_stream_equals_batch(spark, sf_dir):
+    """REAL streaming Avro ingest: the clean OCF fixture tree consumed
+    through the binaryFile stream source one file per microbatch,
+    decoded by the same codec mapInPandas lambda as the batch path,
+    aggregated in complete mode — must equal the registered batch
+    plan (which is itself hash-checked against the orders table)."""
+    import pandas as pd
+
+    from s3_avro_repair_spark.avro_codec import read_ocf
+    from s3_avro_repair_spark.sources.avro_pipeline import (
+        ORDERS_SPARK_SCHEMA,
+        ensure_avro_fixtures,
+    )
+
+    batch = _OPS["stream_avro_ingest"].fn(spark, sf_dir).toPandas()
+    root = os.path.join(ensure_avro_fixtures(sf_dir), "clean")
+    cols = [c.split()[0] for c in ORDERS_SPARK_SCHEMA.split(",")]
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, recs = read_ocf(bytes(content))
+                if recs:
+                    out = pd.DataFrame(recs)
+                    out.columns = cols
+                    yield out
+        yield pd.DataFrame({c: [] for c in cols})
+
+    sdf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(root)
+        .select("content")
+        .mapInPandas(decode, schema=ORDERS_SPARK_SCHEMA)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+    name = f"avroing_{uuid.uuid4().hex[:8]}"
+    _stream_to_memory(sdf.writeStream.outputMode("complete"), name)
+    got = spark.table(name).toPandas()
+    assert _sorted_records(got) == _sorted_records(batch)
