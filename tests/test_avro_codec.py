@@ -274,6 +274,31 @@ def test_multi_branch_union_encodes_by_type():
         write_ocf_bytes(schema, [{"v": 1.5}])
 
 
+def test_snappy_crc_catches_payload_damage():
+    """Snappy is the ONE codec whose blocks carry a checksum (CRC32 of
+    the uncompressed data, per the Avro spec): payload damage that a
+    null-codec structure walk could silently accept must raise, and
+    salvage must lose exactly the damaged block."""
+    data = write_ocf_bytes(SCHEMA, RECS, codec="snappy", block_records=BLOCK)
+    spans = block_spans(data)
+    _, payload_start, size, _ = spans[len(spans) // 2]
+    b = bytearray(data)
+    # flip one bit mid-payload, clear of the varint preamble and the
+    # trailing CRC so the snappy frame itself may still decode
+    b[payload_start + size // 2] ^= 0x01
+    hurt = bytes(b)
+    with pytest.raises((CorruptBlock, CorruptHeader)):
+        read_ocf(hurt)
+    res = salvage_ocf(hurt)
+    assert res.n_blocks_bad == 1
+    lost = range(
+        BLOCK * (len(spans) // 2), BLOCK * (len(spans) // 2 + 1)
+    )
+    assert Counter(r["k"] for r in res.records) == Counter(
+        r["k"] for r in RECS if r["k"] not in lost
+    )
+
+
 def test_resolution_map_values_and_enum_symbols():
     """Schema Resolution for the shapes that used to fall through to
     identity decoding: map value promotion and enum symbol matching
