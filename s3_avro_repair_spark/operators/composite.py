@@ -625,3 +625,184 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         c=c, c2=c, o=o_recent,
     )
+
+
+@register(
+    "q_order_count_dist",
+    group="Q",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many orders —
+    the outer-join-then-double-aggregate pattern. The LEFT join keeps
+    zero-order customers (the c_count=0 bucket exists only because the
+    join is outer), the join-side predicate excludes urgent orders
+    WITHOUT turning the join inner (a WHERE would), and the second
+    aggregate collapses per-customer counts into a distribution whose
+    cardinality is tiny regardless of scale.
+
+    At 100 TB: one key shuffle for the join + first aggregate (AQE
+    picks SMJ for the fact-fact pair), then the second aggregate moves
+    only ~max-orders-per-customer distinct rows. Counts only — no
+    float anywhere."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q_min_cost_supplier",
+    group="Q",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, p_brand,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_size <= 10
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY l_partkey ORDER BY cost, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT l_partkey AS p_partkey, p_brand, s_name,
+           CAST(cost AS DOUBLE) AS cost
+    FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every (small) part, the cheapest supplier —
+    the argmin-per-group-over-a-join pattern. The selective dim filter
+    (p_size <= 10) broadcasts into the fact scan BEFORE the aggregate,
+    so the per-(part, supplier) cost rollup only ever sees qualifying
+    parts; the argmin is a ROW_NUMBER over l_partkey (high-cardinality
+    partition — no straggler key at any scale) with l_suppkey as the
+    deterministic tie-break; the supplier name arrives by broadcast at
+    the end, after the data has shrunk to one row per part.
+
+    Cost is an exact decimal sum cast to double only on output."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = table(spark, sf_dir, "supplier")
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(F.sum(dec2("l_extendedprice")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "p_brand",
+        "s_name",
+        F.col("cost").cast("double").alias("cost"),
+    )
+
+
+@register(
+    "q_important_parts",
+    group="Q",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(val) AS total, COUNT(*) AS nparts FROM pv
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE val * nparts > total
+    """,
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds the all-parts
+    average — a group-aggregate gated by a scalar aggregate of itself.
+    The threshold is ABOVE-AVERAGE (val × nparts > total), which is
+    scale-invariant (a fixed share-of-total multiplier would select
+    everything at small SF and nothing at large) and exact: decimal
+    sum times integer count against decimal total, no float division
+    on the comparison path.
+
+    Spark runs the rollup once: the per-part aggregate feeds both the
+    1-row total (second partial aggregate over already-shrunk rows)
+    and the filter via a broadcast cross join of that single row — no
+    driver round-trip, no recomputation of the fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec2("l_extendedprice")).alias("val")
+    )
+    tot = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("nparts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("nparts") > F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q_priority_waiting",
+    group="Q",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders that had at least
+    one lineitem still shipping 60+ days after the order date — the
+    correlated-EXISTS-then-aggregate pattern. The EXISTS is a LEFT
+    SEMI join (each order emitted at most once however many lineitems
+    qualify) whose extra non-equi condition rides on the equi key, so
+    it stays a hash/sort-merge join on l_orderkey — never a loop. The
+    final aggregate is 5 rows.
+
+    Date arithmetic is timestamp + literal interval on both engines;
+    counts only, no float."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    waited = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return waited.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )

@@ -217,3 +217,117 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").alias("pack_id"),
     )
+
+
+@register(
+    "corpus_mixture",
+    group="L",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(substr(source, 4) AS INT) % 4 AS cls,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, source
+    FROM t
+    WHERE CASE cls WHEN 0 THEN h < '40'
+                   WHEN 1 THEN h < '80'
+                   WHEN 2 THEN h < 'c0'
+                   ELSE TRUE END
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: each source family keeps a
+    different target fraction (25/50/75/100% by source class) — the op
+    that turns a raw crawl into a weighted pretraining mix. Membership
+    is a content-hash threshold, not RNG: md5 hex strings compare
+    lexicographically as numbers (hex digits are ASCII-ordered), so
+    `h < '40'` IS "hash < 1/4 of the space" on both engines, and the
+    same doc survives every run at every cluster size.
+
+    Pure narrow filter — no shuffle, no state; the hash predicate
+    rides the scan and scales linearly forever."""
+    d = table(spark, sf_dir, "documents")
+    cls = (F.expr("substring(source, 4)").cast("int") % 4).alias("cls")
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))),
+        1,
+        2,
+    ).alias("h")
+    t = d.select("doc_id", "lang", "source", cls, h)
+    keep = (
+        F.when(F.col("cls") == 0, F.col("h") < "40")
+        .when(F.col("cls") == 1, F.col("h") < "80")
+        .when(F.col("cls") == 2, F.col("h") < "c0")
+        .otherwise(F.lit(True))
+    )
+    return t.filter(keep).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_token_buckets",
+    group="L",
+    oracle="""
+    SELECT lang,
+           CASE WHEN n_chars < 64   THEN '0-63'
+                WHEN n_chars < 256  THEN '64-255'
+                WHEN n_chars < 1024 THEN '256-1023'
+                WHEN n_chars < 4096 THEN '1024-4095'
+                ELSE '4096+' END AS bucket,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution audit: docs and total volume per (lang,
+    size bucket) — the histogram a curation run reads before choosing
+    truncation / packing budgets. Buckets are an explicit CASE ladder
+    (not floor(log2): fp-boundary-free and readable), the aggregate is
+    partial-final with output cardinality langs × 5 regardless of
+    corpus size. Counts and integer sums only."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 64, "0-63")
+        .when(F.col("n_chars") < 256, "64-255")
+        .when(F.col("n_chars") < 1024, "256-1023")
+        .when(F.col("n_chars") < 4096, "1024-4095")
+        .otherwise("4096+")
+    ).alias("bucket")
+    return d.groupBy("lang", bucket).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "corpus_dedup_report",
+    group="L",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+             AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate accounting per source — the report that decides
+    which crawl snapshots are worth keeping BEFORE paying for a full
+    dedup pass. Exact distinct over content digests: the shuffle moves
+    16-byte hashes, never documents (the dedup_exact discipline), and
+    Spark plans COUNT + COUNT DISTINCT in one aggregate via expand.
+    The only float is the final ratio, rounded identically on both
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )

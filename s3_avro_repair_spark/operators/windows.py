@@ -564,3 +564,106 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((F.col("value") - prev) / prev, 4).alias("pct_change"),
     )
+
+
+@register(
+    "ts_ewma",
+    group="W",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(
+             list_sum(list_transform(l, (x, j) -> x * pow(0.7, len(l) - j)))
+             / ((1 - pow(0.7, len(l))) / 0.3), 4) AS ewma
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EWMA (span-bounded exponential smoothing,
+    alpha=0.3) per entity — the smoothed series a metrics pipeline
+    alerts on. Deliberately TRAILING-K (last 20 readings), not
+    since-the-beginning: the classic recursive EWMA needs either
+    unbounded weights pow(1-a, -i) (overflows past ~1000 rows) or
+    sequential state; the trailing form is a fixed-size frame whose
+    weight mass is >99.9% of the infinite tail at K=20, and it maps to
+    a bounded ROWS frame that scales to arbitrarily long histories.
+
+    One shuffle on user_id; collect_list over the frame keeps at most
+    20 doubles per row, and the weighted sum runs in a JVM-side HOF
+    (transform + aggregate). The denominator is the closed-form
+    geometric sum (1-0.7^n)/0.3, not a second list pass. Both engines
+    round the one float division to 4dp."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    lst = F.collect_list("value").over(w)
+    num = F.expr(
+        "aggregate(transform(l, (x, i) -> x * pow(0.7, size(l) - 1 - i)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    den = (1 - F.pow(F.lit(0.7), F.size("l"))) / 0.3
+    return (
+        e.select("event_id", "user_id", lst.alias("l"))
+        .select("event_id", "user_id", F.round(num / den, 4).alias("ewma"))
+    )
+
+
+@register(
+    "ts_zscore",
+    group="W",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             AVG(value)         OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND((value - mu) / sd, 4) AS z,
+           CASE WHEN sd > 0 AND ABS((value - mu) / sd) > 2
+                THEN TRUE ELSE FALSE END AS is_outlier
+    FROM s
+    WHERE sd IS NOT NULL AND sd > 0
+    """,
+)
+def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: each reading scored against the
+    mean/stddev of its own entity's PRECEDING 20 readings (the frame
+    excludes the current row, so an outlier can't dilute the baseline
+    it's judged against). Readings whose baseline has <2 points carry
+    no score and are dropped — matching both engines exactly.
+
+    AVG and STDDEV_SAMP share one (user_id, ts) partition+order, so
+    Spark plans a single exchange+sort with two frames over it — the
+    bounded-frame streaming class that survives any history length.
+    The z division is rounded to 4dp on both engines; the flag is a
+    threshold on the same rounded-free expression (|z| > 2 lands far
+    from fp noise at fixture scale)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.select("event_id", "user_id", "value", mu.alias("mu"), sd.alias("sd"))
+        .filter(F.col("sd").isNotNull() & (F.col("sd") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 4).alias("z"),
+            ((F.col("sd") > 0) & (F.abs(z) > 2)).alias("is_outlier"),
+        )
+    )
