@@ -356,3 +356,124 @@ def test_block_stats_rejects_structural_damage(data):
         block_stats(inject_truncate(data))
     with pytest.raises(CorruptHeader):
         block_stats(inject_bad_header(data))
+
+
+# ---------------------------------------------------------------------------
+# property test: random walks through the schema-evolution lattice
+# ---------------------------------------------------------------------------
+
+# writer type -> legal reader promotions (spec §Schema Resolution),
+# with a value transform mirroring what decode_resolved must apply.
+_LATTICE = {
+    "int": ["int", "long", "float", "double"],
+    "long": ["long", "float", "double"],
+    "float": ["float", "double"],
+    "double": ["double"],
+    "string": ["string", "bytes"],
+    "bytes": ["bytes", "string"],
+    "boolean": ["boolean"],
+}
+
+
+def _expected(val, wt, rt):
+    if rt in ("float", "double") and wt in ("int", "long"):
+        return float(val)
+    if rt == "bytes" and wt == "string":
+        return val.encode("utf-8")
+    if rt == "string" and wt == "bytes":
+        return val.decode("utf-8")
+    return val
+
+
+def _value_strategy(t):
+    # floats restricted to small integers: exactly representable at
+    # 32-bit, so promotion comparisons are == without tolerance.
+    return {
+        "int": st.integers(-(2**31), 2**31 - 1),
+        "long": st.integers(-(2**62), 2**62 - 1),
+        "float": st.integers(-1000, 1000).map(float),
+        "double": st.integers(-(2**50), 2**50).map(float),
+        "string": st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12,
+        ),
+        "bytes": st.binary(max_size=12),
+        "boolean": st.booleans(),
+    }[t]
+
+
+@st.composite
+def _evolution_case(draw):
+    """A (writer schema, reader schema, rows, expected rows) quadruple:
+    per field the reader either promotes the type, keeps it, or drops
+    the field; the reader also gains a defaulted field and shuffles
+    field order (matching is by name, not position)."""
+    n = draw(st.integers(min_value=1, max_value=5))
+    wtypes = [draw(st.sampled_from(sorted(_LATTICE))) for _ in range(n)]
+    wfields = [{"name": f"f{i}", "type": t} for i, t in enumerate(wtypes)]
+    rfields, kept = [], []
+    for i, t in enumerate(wtypes):
+        fate = draw(st.sampled_from(["keep", "promote", "drop"]))
+        if fate == "drop":
+            continue
+        rt = wtypes[i] if fate == "keep" else draw(
+            st.sampled_from(_LATTICE[t])
+        )
+        rfields.append({"name": f"f{i}", "type": rt})
+        kept.append((i, t, rt))
+    if draw(st.booleans()):
+        rfields.append({"name": "added", "type": "long", "default": 7})
+        added = True
+    else:
+        added = False
+    perm = draw(st.permutations(rfields))
+    writer = {"type": "record", "name": "R", "fields": wfields}
+    reader = {"type": "record", "name": "R", "fields": list(perm)}
+    nrows = draw(st.integers(min_value=1, max_value=5))
+    rows, want = [], []
+    for _ in range(nrows):
+        row = {
+            f"f{i}": draw(_value_strategy(t)) for i, t in enumerate(wtypes)
+        }
+        rows.append(row)
+        exp = {
+            f"f{i}": _expected(row[f"f{i}"], wt, rt) for i, wt, rt in kept
+        }
+        # bytes values must be utf-8 decodable for a bytes->string read
+        exp_ok = all(
+            not (wt == "bytes" and rt == "string")
+            or _utf8able(row[f"f{i}"])
+            for i, wt, rt in kept
+        )
+        if added:
+            exp["added"] = 7
+        want.append((exp, exp_ok))
+    return writer, reader, rows, want
+
+
+def _utf8able(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=_evolution_case())
+def test_property_schema_resolution_lattice(case):
+    from s3_avro_repair_spark.avro_codec import (
+        SchemaResolutionError,
+        read_ocf_resolved,
+        write_ocf_bytes,
+    )
+
+    writer, reader, rows, want = case
+    data = write_ocf_bytes(writer, rows)
+    decodable = all(ok for _, ok in want)
+    if not decodable:
+        with pytest.raises((SchemaResolutionError, UnicodeDecodeError)):
+            read_ocf_resolved(data, reader)
+        return
+    got = read_ocf_resolved(data, reader)
+    assert got == [exp for exp, _ in want]
