@@ -436,15 +436,18 @@ def _evolution_case(draw):
             f"f{i}": draw(_value_strategy(t)) for i, t in enumerate(wtypes)
         }
         rows.append(row)
-        exp = {
-            f"f{i}": _expected(row[f"f{i}"], wt, rt) for i, wt, rt in kept
-        }
         # bytes values must be utf-8 decodable for a bytes->string read
         exp_ok = all(
             not (wt == "bytes" and rt == "string")
             or _utf8able(row[f"f{i}"])
             for i, wt, rt in kept
         )
+        if not exp_ok:
+            want.append((None, False))
+            continue
+        exp = {
+            f"f{i}": _expected(row[f"f{i}"], wt, rt) for i, wt, rt in kept
+        }
         if added:
             exp["added"] = 7
         want.append((exp, exp_ok))
