@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import dec2
 from ..plans.registry import register
 from ..tables import table
 
@@ -598,4 +599,87 @@ def merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("start_us"),
         F.max("e").alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "snapshot_diff",
+    group="C",
+    oracle="""
+    WITH newsnap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 40000000 AS o_orderkey, 5.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_totalprice AS old_price,
+           n.o_totalprice AS new_price
+    FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot change detection — merge_upsert's inverse:
+    given yesterday's and today's versions of a table, emit WHAT
+    changed (added / removed / changed rows with both values), the diff
+    a CDC audit or incremental-sync job starts from. The new snapshot
+    is derived deterministically (every 13th key deleted, every 7th
+    repriced by an exact decimal ×1.10, inserts above the key space),
+    so both engines diff identical inputs.
+
+    One co-partitioned FULL OUTER SortMergeJoin on the key (broadcast
+    is impossible for full outer — see merge_upsert), then a narrow
+    classify-and-filter; unchanged rows (the overwhelming majority at
+    scale) are discarded before anything else touches them. At 100 TB
+    the refinement is partition-level pruning: diff only partitions
+    whose content hash differs, the avro_stats fingerprint pass."""
+    o = table(spark, sf_dir, "orders")
+    one_ten = F.lit(1.10).cast("decimal(18,2)")
+    survivors = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            (dec2("o_totalprice") * one_ten).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(40000000)).alias("o_orderkey"),
+        F.lit(5.0).alias("o_totalprice"),
+    )
+    new = survivors.unionByName(inserts)
+    old = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    d = old.join(
+        new.withColumnRenamed("o_orderkey", "n_key").withColumnRenamed(
+            "o_totalprice", "new_price"
+        ),
+        F.col("b_key") == F.col("n_key"),
+        "full_outer",
+    )
+    return d.filter(
+        F.col("b_key").isNull()
+        | F.col("n_key").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        F.coalesce(F.col("n_key"), F.col("b_key")).alias("o_orderkey"),
+        F.when(F.col("b_key").isNull(), "added")
+        .when(F.col("n_key").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_price",
+        "new_price",
     )

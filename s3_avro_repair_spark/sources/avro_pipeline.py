@@ -764,3 +764,62 @@ def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "avro_schema_report",
+    group="E",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+                THEN 'gen1' ELSE 'gen2' END AS generation,
+           CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+                THEN 'null' ELSE 'snappy' END AS codec,
+           CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+                THEN 3 ELSE 5 END AS n_fields,
+           CAST({N_FILES // 2} AS BIGINT) AS n_files,
+           COUNT(*) AS n_records
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def avro_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet schema inventory WITHOUT decoding a value: per writer
+    generation (schema shape × codec), how many files and records a
+    mixed tree holds. Header + block-header walk only (``block_stats``
+    skips every payload), so the pass is O(#blocks) per object — the
+    audit you run over a years-old 100 TB prefix BEFORE deciding which
+    generations need migration, at roughly listing cost.
+
+    The reference can only discover a file's schema by reading it
+    (avro-tools getschema, one JVM per object); here the whole fleet
+    inventory is one distributed pass whose oracle is exact because the
+    fixture assigns generations deterministically (o_orderkey % 8)."""
+    root = ensure_avro_fixtures(sf_dir)
+    bf = _binary_files(spark, os.path.join(root, "mixed"), n_tasks=N_FILES)
+
+    def report(batches):
+        from ..avro_codec import block_stats, read_header
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = bytes(content)
+                schema, codec, _, _ = read_header(data)
+                _, n_records, _ = block_stats(data)
+                fields = [f["name"] for f in schema["fields"]]
+                gen = "gen2" if "o_orderstatus" in fields else "gen1"
+                rows.append((gen, codec, len(fields), n_records))
+            yield pd.DataFrame(
+                rows, columns=["generation", "codec", "n_fields", "n_rec"]
+            )
+        yield pd.DataFrame(
+            {"generation": [], "codec": [], "n_fields": [], "n_rec": []}
+        )
+
+    per_file = bf.select("content").mapInPandas(
+        report, schema="generation string, codec string, n_fields int, n_rec long"
+    )
+    return per_file.groupBy("generation", "codec", "n_fields").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rec").alias("n_records"),
+    )
