@@ -429,3 +429,38 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    group="G",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT via bitmap aggregation — the same answer
+    as agg_distinct by a fundamentally different algorithm: keys map
+    to (bucket, bit-position), each (group, bucket) task ORs its local
+    4096-bit bitmap, and the distinct count is the sum of per-bucket
+    popcounts. Spark 3.5+ ships this as
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg.
+
+    Why it matters at 100 TB: a shuffle of fixed-size bitmaps (512 B
+    per group×bucket, regardless of how many rows fed it) replaces the
+    expand+reshuffle of raw distinct keys — the map-side combine is
+    total. The DuckDB oracle computes the same count the classical
+    way, so the cross-algorithm agreement is itself the test."""
+    o = table(spark, sf_dir, "orders")
+    per_bucket = o.groupBy(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bk"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers")
+    )

@@ -806,3 +806,78 @@ def q_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waited.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count")
     )
+
+
+@register(
+    "q_market_share",
+    group="Q",
+    oracle="""
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             sn.n_name AS supp_nation,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS nation_rev,
+           CAST(SUM(rev) AS DOUBLE) AS market_rev,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 4) AS share
+    FROM sales
+    GROUP BY yr
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a regional
+    market, per year — the conditional-aggregate-over-a-star pattern.
+    Numerator and denominator come out of ONE pass (a CASE inside the
+    sum, not two scans); all four dims pre-shrink and broadcast into
+    the fact-fact join; revenue stays exact decimal until the final
+    share division, which both engines round identically.
+
+    The year grouping keys the output at ~7 rows however large the
+    fact tables grow."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = table(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (dec2("l_extendedprice") * (one - dec2("l_discount"))).alias("rev")
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
+        .select(
+            F.year(o.o_orderdate).cast("bigint").alias("yr"),
+            F.col("sn.n_name").alias("supp_nation"),
+            rev,
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    nat = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(zero)
+    )
+    tot = F.sum("rev")
+    return sales.groupBy("yr").agg(
+        nat.cast("double").alias("nation_rev"),
+        tot.cast("double").alias("market_rev"),
+        F.round(nat.cast("double") / tot.cast("double"), 4).alias("share"),
+    )

@@ -667,3 +667,78 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sd") > 0) & (F.abs(z) > 2)).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "window_funnel",
+    group="W",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users progressed
+    view → click → purchase IN THAT ORDER (a later stage only counts
+    if it happens strictly after the user's first qualifying earlier
+    stage) — the conversion query behind every product dashboard.
+
+    Each stage is a per-user MIN aggregate joined forward into the
+    next stage's filter: three aggregate+join rounds, all keyed on
+    user_id, so AQE co-partitions the whole cascade on one key and
+    each stage's input shrinks to the users still in the funnel.
+    Counts only; the per-user timestamps never leave the plan."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view>click>purchase").alias("stage"), "n_users"
+            )
+        )
+    )
