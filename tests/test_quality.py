@@ -259,3 +259,42 @@ def test_scan_observed_metrics_exact(spark, sf_dir, duck):
     ).fetchone()
     assert row.getLong(0) == exact[0]
     assert abs(row.getDouble(1) - float(exact[1])) < 1e-6
+
+
+def test_r3_composite_plan_shapes(spark, sf_dir):
+    """The round-3 composites must compile to the plans their
+    docstrings promise: the Q2 shape broadcasts both dims around a
+    single fact aggregate; the Q4 shape stays one semi join (never an
+    inner join that would duplicate orders); the Q8 star broadcasts
+    every dim; the funnel cascade plans no broadcast full-outer and no
+    cartesian anywhere (global sweep covers the latter)."""
+    plan = (
+        _OPS["q_min_cost_supplier"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+    plan = (
+        _OPS["q_priority_waiting"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+
+    plan = (
+        _OPS["q_market_share"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_bitmap_distinct_is_two_level(spark, sf_dir):
+    """agg_bitmap_distinct's plan must aggregate twice (per-bucket
+    bitmap OR, then popcount sum) with a partial (map-side) step for
+    each — the fixed-size-bitmap shuffle that replaces raw-key expand."""
+    plan = (
+        _OPS["agg_bitmap_distinct"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "bitmap_construct_agg" in plan, plan
+    assert "partial_bitmap_construct_agg" in plan, plan  # map-side OR
+    assert "partial_sum" in plan, plan  # map-side popcount sum
