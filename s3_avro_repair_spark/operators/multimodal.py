@@ -186,3 +186,55 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         energy, schema="doc_id long, window_no int, energy long"
     )
+
+
+@register(
+    "mm_resize",
+    group="L",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(LEAST(64, (len(text) + 1) // 2) AS BIGINT) AS thumb_len,
+           md5(string_agg(
+             CASE WHEN 1 + 2 * i <= len(text)
+                  THEN substr(text, 1 + 2 * i, 1) END,
+             '' ORDER BY i)) AS thumb_md5
+    FROM documents, generate_series(0, 63) AS g(i)
+    GROUP BY doc_id, text
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing for the binary modality: each blob is
+    stride-2 subsampled over its first 128 bytes into a ≤64-byte
+    "thumbnail" — the shape a real image resize (PIL.thumbnail inside
+    the same mapInPandas) would take, with a deterministic stand-in
+    kernel so the result hash-checks against pure SQL (fixed-bound
+    generate_series + ordered string_agg reconstructs the identical
+    byte selection; ASCII fixture text keeps byte == char).
+
+    Per-row Arrow-batched transform, no shuffle; at 100 TB the resize
+    rides the scan and output size is capped per row by construction —
+    the thumbnail column is safely collectible downstream."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            blobs = pdf["blob"].map(bytes)
+            thumbs = blobs.map(lambda b: b[0:128:2])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "thumb_len": thumbs.map(len).astype("int64"),
+                    "thumb_md5": thumbs.map(
+                        lambda t: hashlib.md5(t).hexdigest()
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        resize,
+        schema="doc_id long, n_bytes long, thumb_len long, thumb_md5 string",
+    )
