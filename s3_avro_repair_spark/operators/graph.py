@@ -13,7 +13,7 @@ sidestepping SQL's no-aggregates-in-recursion rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -152,3 +152,127 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return scores.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_KMEANS_ORACLE = """
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale
+      FROM t
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(dv, x -> CAST(floor(127 * x / scale + 0.5) AS INT))
+               AS v
+      FROM s WHERE scale > 0
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < 4),
+    a1 AS (
+      SELECT vec_id, v, cid,
+             (SELECT SUM((v[i] - c[i]) * (v[i] - c[i]))
+              FROM generate_series(1, 64) g(i)) AS d2
+      FROM q, c0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY i) AS c
+      FROM (
+        SELECT cid, i, CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS INT) AS cv
+        FROM a1, generate_series(1, 64) g(i)
+        GROUP BY cid, i
+      )
+      GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, v, cid,
+             (SELECT SUM((v[i] - c[i]) * (v[i] - c[i]))
+              FROM generate_series(1, 64) g(i)) AS d2
+      FROM q, c1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    c2 AS (
+      SELECT cid, list(cv ORDER BY i) AS c
+      FROM (
+        SELECT cid, i, CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS INT) AS cv
+        FROM a2, generate_series(1, 64) g(i)
+        GROUP BY cid, i
+      )
+      GROUP BY cid
+    )
+    SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
+           ANY_VALUE(c.c) AS centroid
+    FROM a2 a JOIN c2 c ON a.cid = c.cid
+    GROUP BY a.cid
+"""
+
+
+@register("kmeans_quantized", group="C", oracle=_KMEANS_ORACLE)
+def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means (k=4, 2 rounds) over int8-quantized
+    embeddings — the clustering step of a corpus-organization /
+    IVF-index-build pipeline, run ENTIRELY in exact integer arithmetic
+    so the oracle can be exact: quantized codes (embedding_quantize's
+    kernel), integer squared distances, and floor(sum/count) centroid
+    updates leave no accumulation-order float drift for either engine.
+    The DuckDB oracle unrolls both rounds into chained CTEs
+    (graph_pagerank's discipline): same init (4 smallest vec_ids), same
+    tie-breaks (distance, then centroid id), cell-identical output.
+
+    Scale shape per round: assignment is a broadcast of k tiny
+    centroid rows against the vector scan (never a shuffle of
+    vectors), and the centroid update shuffles (k × dim) partial sums
+    — both invariant in the corpus size except the scan itself. The
+    driver holds no data; iteration count is fixed, so the whole job
+    is one lazy plan."""
+    e = table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("dv")
+    )
+    s = t.select(
+        "vec_id", "dv", F.expr("array_max(transform(dv, x -> abs(x)))").alias("scale")
+    )
+    q = s.filter(F.col("scale") > 0).select(
+        "vec_id",
+        F.expr("transform(dv, x -> cast(floor(127 * x / scale + 0.5) as int))").alias(
+            "v"
+        ),
+    )
+    cents = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(2):
+        d2 = F.expr(
+            "aggregate(zip_with(v, c, (x, y) -> CAST(x - y AS BIGINT) * (x - y)),"
+            " 0L, (a, x) -> a + x)"
+        )
+        pairs = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        dims = (
+            assign.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("val") / F.count(F.lit(1))).cast("int").alias("cv")
+            )
+        )
+        cents = dims.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cv))), p -> p.cv)"
+            ).alias("c")
+        )
+    return (
+        assign.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(F.broadcast(cents), "cid")
+        .select(
+            F.col("cid").alias("cluster_id"), "n_members", F.col("c").alias("centroid")
+        )
+    )
