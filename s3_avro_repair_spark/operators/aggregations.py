@@ -464,3 +464,33 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers")
     )
+
+
+@register("agg_hll_merge", group="G", oracle=None)
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches — the pre-aggregation pattern that
+    makes COUNT DISTINCT incremental at 100 TB: each nation builds an
+    HLL sketch of its customer keys (hll_sketch_agg), and the regional
+    rollup MERGES the sketches (hll_union_agg) instead of re-scanning
+    raw keys. This is how a daily-partitioned fleet serves ad-hoc
+    distinct counts over arbitrary partition unions: sketches are
+    bytes, unions are cheap, raw keys are never re-shuffled.
+
+    Estimates, so rows-only for the driver;
+    tests/test_quality.py::test_hll_merge_close_to_exact bounds the
+    per-region error against the exact distinct count and pins the
+    two-level (sketch → union) plan shape."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    return (
+        per_nation.join(F.broadcast(n), per_nation.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("approx_customers")
+        )
+    )

@@ -881,3 +881,45 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.cast("double").alias("market_rev"),
         F.round(nat.cast("double") / tot.cast("double"), 4).alias("share"),
     )
+
+
+@register(
+    "q_yearly_growth",
+    group="Q",
+    oracle="""
+    WITH y AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev - LAG(rev) OVER (ORDER BY yr) AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE), 4)
+             AS yoy_growth
+    FROM y
+    """,
+)
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — the window-AFTER-aggregate
+    shape: the fact table collapses to one row per year FIRST, then
+    LAG runs over that handful of rows. The unpartitioned window that
+    would be a scale-killer on raw data is harmless here because its
+    input is the aggregate's output (bounded by the calendar), and
+    Catalyst plans it as a single-partition exchange of ~7 rows.
+    Revenue stays exact decimal; only the growth ratio is float,
+    rounded identically on both engines. First year's growth is NULL
+    by definition on both."""
+    o = table(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.sum(dec2("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return y.select(
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 4
+        ).alias("yoy_growth"),
+    )

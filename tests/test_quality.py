@@ -298,3 +298,30 @@ def test_bitmap_distinct_is_two_level(spark, sf_dir):
     assert "bitmap_construct_agg" in plan, plan
     assert "partial_bitmap_construct_agg" in plan, plan  # map-side OR
     assert "partial_sum" in plan, plan  # map-side popcount sum
+
+
+def test_hll_merge_close_to_exact(spark, sf_dir, duck):
+    """agg_hll_merge's merged regional estimates must land within 5%
+    of the exact per-region distinct counts, and the plan must show
+    the two-level sketch shape (sketch agg, then union agg) rather
+    than a raw-key re-aggregation."""
+    df = _OPS["agg_hll_merge"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "hll_sketch_agg" in plan, plan
+    assert "hll_union_agg" in plan, plan
+    got = df.toPandas()
+    exact = duck.execute(
+        """
+        SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey
+        """
+    ).fetchdf()
+    merged = got.merge(exact, on="n_regionkey")
+    assert len(merged) == len(exact)
+    for _, row in merged.iterrows():
+        rel_err = abs(row.approx_customers - row.exact_customers) / row.exact_customers
+        assert rel_err <= 0.05, (
+            f"region {row.n_regionkey}: approx={row.approx_customers} "
+            f"exact={row.exact_customers} rel_err={rel_err:.4f}"
+        )
