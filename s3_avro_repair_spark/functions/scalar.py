@@ -424,3 +424,38 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists("embedding", lambda x: F.abs(x) > F.lit(0.5)).alias("any_big"),
         F.forall("embedding", lambda x: F.abs(x) < F.lit(1.0)).alias("all_small"),
     )
+
+
+@register(
+    "fn_variant",
+    group="F",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 9 = 0 THEN NULL
+                ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+           event_id % 9 <> 0 AS parse_ok
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured payloads: every 9th
+    props string is deterministically truncated (invalid JSON), parsed
+    with ``try_parse_json`` (corrupt → NULL, never a failed job — the
+    per-row analog of the E group's per-file fault isolation), and the
+    field extracted through the binary variant encoding with
+    ``variant_get``. Unlike fn_json's string re-parsing per extraction,
+    VARIANT decodes the JSON once into a traversable binary — the
+    difference between O(fields × parse) and O(parse) on a 100 TB
+    semi-structured scan. The oracle reads the same field with plain
+    JSON extraction, so the variant path must agree value-for-value."""
+    e = table(spark, sf_dir, "events")
+    damaged = F.when(
+        F.col("event_id") % 9 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(damaged)
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        v.isNotNull().alias("parse_ok"),
+    )
