@@ -459,3 +459,49 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k"),
         v.isNotNull().alias("parse_ok"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    group="F",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25 THEN NULL
+                ELSE CAST(FLOOR(l_extendedprice * 100 / (l_quantity - 25))
+                          AS BIGINT) END
+             AS per_excess_cents,
+           CASE WHEN l_quantity >= 40 THEN 40 ELSE NULL END AS elem40
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (ANSI "try") expression surface: ``try_divide``
+    yields NULL on division by zero and ``try_element_at`` yields NULL
+    past the end of an array — per-ROW fault isolation for arithmetic,
+    the scalar sibling of try_parse_json (fn_variant) and the E
+    group's per-file isolation. Under ANSI mode the non-try variants
+    would kill the job on the first zero denominator in 100 TB; the
+    try family turns data quality issues into NULLs the pipeline can
+    count. The oracle encodes the same semantics as explicit CASE
+    guards.
+
+    Output as floored integer cents, not ROUND(x, 4): money/small-int
+    division lands on exact .xxxx5 ties constantly, where Spark
+    (BigDecimal HALF_UP on the true double expansion) and DuckDB
+    (scale-multiply in doubles) legitimately disagree; FLOOR on
+    bit-identical doubles is deterministic on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.try_divide(F.col("l_extendedprice") * 100, F.col("l_quantity") - 25)
+        )
+        .cast("bigint")
+        .alias("per_excess_cents"),
+        F.try_element_at(
+            F.sequence(F.lit(1), F.col("l_quantity").cast("int")), F.lit(40)
+        )
+        .cast("int")
+        .alias("elem40"),
+    )

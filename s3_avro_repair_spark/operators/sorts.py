@@ -216,3 +216,47 @@ def sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zbucket"
         ),
     )
+
+
+_BAG_A = "SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'"
+_BAG_B = ("SELECT l_suppkey FROM lineitem "
+           "WHERE l_linestatus = 'F' AND l_partkey % 2 = 0")
+
+
+@register(
+    "set_except_all",
+    group="O",
+    oracle=f"{_BAG_A} EXCEPT ALL {_BAG_B}",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): occurrences subtract, they
+    don't collapse — a supplier appearing 5 times in A and 2 in B
+    survives 3 times. The slices are deliberately high-duplication
+    (suppkey projected from lineitem, B halved by part parity) so bag
+    semantics actually differ from set_except's distinct semantics
+    and both directions keep rows. Spark plans this as
+    a count-per-row aggregate + generate, one shuffle on the full
+    row — same scale class as a groupBy on the value."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(
+        (F.col("l_linestatus") == "F") & (F.col("l_partkey") % 2 == 0)
+    ).select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    group="O",
+    oracle=f"{_BAG_A} INTERSECT ALL {_BAG_B}",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each value survives
+    min(count_a, count_b) times — the bag complement of
+    set_except_all, same plan shape."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    b = li.filter(
+        (F.col("l_linestatus") == "F") & (F.col("l_partkey") % 2 == 0)
+    ).select("l_suppkey")
+    return a.intersectAll(b)
