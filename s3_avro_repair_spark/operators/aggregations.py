@@ -494,3 +494,49 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_customers")
         )
     )
+
+
+@register(
+    "agg_regression",
+    group="G",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 3600000000.0 AS hrs
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(regr_slope(value, hrs), 4) AS slope,
+           ROUND(regr_intercept(value, hrs), 4) AS intercept,
+           regr_count(value, hrs) AS n
+    FROM x
+    GROUP BY user_id
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity linear trend: ordinary-least-squares slope/intercept
+    of a metric against time, as a plain distributed aggregate
+    (regr_slope / regr_intercept are one-pass Welford-style moments —
+    partial-final like any sum). The regressor is HOURS SINCE THE
+    ENTITY'S FIRST EVENT, not raw epoch micros: centering kills the
+    catastrophic cancellation that raw 1e15-scale x values feed into
+    the covariance terms, which is what makes a 4dp cross-engine
+    round stable (summation-order drift stays ~1e-12 relative).
+
+    One shuffle for the min-ts window, reused by the aggregate (same
+    user_id partitioning). The trend behind per-tenant usage-growth
+    dashboards, at any entity cardinality."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros(F.col("ts"))
+    x = e.select(
+        "user_id",
+        "value",
+        ((us - F.min(us).over(w)) / F.lit(3600000000.0)).alias("hrs"),
+    )
+    return x.groupBy("user_id").agg(
+        F.round(F.regr_slope("value", "hrs"), 4).alias("slope"),
+        F.round(F.regr_intercept("value", "hrs"), 4).alias("intercept"),
+        F.regr_count("value", "hrs").alias("n"),
+    )
