@@ -923,3 +923,127 @@ def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double"), 4
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "q_parts_supplier_count",
+    group="Q",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each surviving (brand, type, size) bucket, after
+    excluding a denylist of suppliers — the NOT-IN-then-COUNT-DISTINCT
+    pattern. The reference fixtures carry no partsupp table, so
+    lineitem IS the part↔supplier bridge (same shape, bigger fact).
+
+    The NOT IN compiles to a LEFT ANTI hash join against the (tiny,
+    broadcast) denylist — legal precisely because s_suppkey is
+    non-nullable; a nullable denylist would need NULL-aware anti join
+    (Spark plans BroadcastNestedLoop for that, a scale trap worth
+    designing out of the schema). COUNT(DISTINCT) expands to the
+    two-shuffle partial-distinct plan: first shuffle on the full
+    (brand, type, size, suppkey) key de-duplicates map-side, the
+    second re-aggregates per group — at 100 TB the heavy first
+    exchange carries only the deduplicated key space, not raw rows."""
+    sup_deny = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(sup_deny),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_suppliers_kept_waiting",
+    group="Q",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 105 DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 105 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on
+    finished orders, count the late lineitems whose supplier was the
+    ONLY late supplier on a multi-supplier order — the
+    EXISTS + NOT-EXISTS pair over the same fact table. Lateness is
+    re-expressed against the fixtures' columns (shipped >105 days
+    after order date; there is no commit/receipt date).
+
+    Both subqueries correlate on l_orderkey with a <>-condition on
+    suppkey, so Catalyst plans them as LEFT SEMI and LEFT ANTI
+    hash joins keyed on l_orderkey, the non-equi suppkey test riding
+    along as a join residual — per-order fan-out is lineitems per
+    order (bounded ~7), never a loop. Three passes over lineitem
+    total; all three shuffle on l_orderkey, so at 100 TB AQE reuses
+    one exchange for the self-joins. The supplier name lookup is a
+    broadcast at the end, after the fact rows have been decimated."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    late1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 105 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    has_other = late1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late3 = late1.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    only_late = has_other.join(
+        late3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -286,6 +286,25 @@ def test_r3_composite_plan_shapes(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") >= 4, plan
 
+    # Q16 shape: the supplier denylist must be a broadcast ANTI join
+    # (non-null NOT IN), never a NULL-aware nested loop.
+    plan = (
+        _OPS["q_parts_supplier_count"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+    # Q21 shape: EXISTS + NOT EXISTS over the same fact = one semi and
+    # one anti join, both hash-keyed on the order key.
+    plan = (
+        _OPS["q_suppliers_kept_waiting"].fn(spark, sf_dir)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
 
 def test_bitmap_distinct_is_two_level(spark, sf_dir):
     """agg_bitmap_distinct's plan must aggregate twice (per-bucket
