@@ -23,8 +23,12 @@ _ITERS = 10
 _DAMP = 0.85
 
 # Same blocked candidate generation as dedup_clusters (lifecycle.py) —
-# bounded pairs, never all-pairs.
-_PAIRS_CTE = """
+# bounded pairs, never all-pairs. The cosine threshold is the graph's
+# density knob: 0.35 gives PageRank a sparse citation-like graph;
+# triangle counting needs enough degree-2+ nodes to close wedges, so
+# it runs the same generator at 0.05.
+def _pairs_cte(thr: float) -> str:
+    return f"""
     WITH pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b
@@ -36,7 +40,7 @@ _PAIRS_CTE = """
                  SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
           FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y)
         ) d
-      WHERE d.dot / (SQRT(d.na) * SQRT(d.nb)) >= 0.35
+      WHERE d.dot / (SQRT(d.na) * SQRT(d.nb)) >= {thr}
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -46,6 +50,46 @@ _PAIRS_CTE = """
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges)
 """
+
+
+_PAIRS_CTE = _pairs_cte(0.35)
+
+
+def _sim_pairs(spark: SparkSession, sf_dir: str, thr: float = 0.35) -> DataFrame:
+    """Undirected similarity edges (id_a < id_b), the Spark twin of
+    ``_pairs_cte``: label-blocked + id-banded candidate generation,
+    cosine >= thr — bounded pairs, never all-pairs. Shared by
+    graph_pagerank and graph_triangles."""
+    from .llm import _norm
+
+    dot = (
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    a = en.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
+    b = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(dot) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") - F.col("id_a") <= 50),
+        )
+        .filter(cos >= thr)
+        .select("id_a", "id_b")
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -90,36 +134,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round join keys both sides on src, so a pre-partitioned edge
     table amortizes its shuffle across all rounds — the classic Pregel
     layout."""
-    from .llm import _norm
-
-    _DOT = (
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
-    b = en.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.expr(_DOT) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") - F.col("id_a") <= 50),
-        )
-        .filter(cos >= 0.35)
-        .select("id_a", "id_b")
-    )
+    pairs = _sim_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -274,5 +289,129 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents), "cid")
         .select(
             F.col("cid").alias("cluster_id"), "n_members", F.col("c").alias("centroid")
+        )
+    )
+
+
+def _triangles_oracle() -> str:
+    return (
+        _pairs_cte(0.05)
+        + """,
+    ornt AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.id_a < p.id_b)
+                  THEN p.id_a ELSE p.id_b END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.id_a < p.id_b)
+                  THEN p.id_b ELSE p.id_a END AS dst,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.id_a < p.id_b)
+                  THEN db.deg ELSE da.deg END AS ddeg
+      FROM pairs p
+      JOIN deg da ON da.src = p.id_a
+      JOIN deg db ON db.src = p.id_b
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM ornt e1
+      JOIN ornt e2 ON e1.src = e2.src
+       AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+      JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    pertri AS (
+      SELECT id, COUNT(*) AS n_tri FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY id
+    )
+    SELECT d.src AS vec_id,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           ROUND(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+             AS clustering_coeff
+    FROM deg d LEFT JOIN pertri t ON t.id = d.src
+    WHERE d.deg >= 2
+    """
+    )
+
+
+@register("graph_triangles", group="C", oracle=_triangles_oracle())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    same similarity graph PageRank ranks — the density signal behind
+    community detection and crawl-graph spam scoring.
+
+    Degree-oriented enumeration (the distributed-triangle standard):
+    every undirected edge is directed from its (degree, id)-smaller
+    endpoint to its larger one, wedges are generated only at a
+    node's OUT-neighbors, and a wedge closes iff the oriented edge
+    (v, w) exists. Each triangle is produced exactly once, and the
+    wedge fan-out per node is bounded by OUT-degree ~ O(sqrt(m))
+    rather than raw degree — the difference between a star node
+    generating deg² wedges and sqrt(m)² = m at 100 TB. Both the
+    wedge join and the closing join are plain hash joins on node
+    ids; per-node counts are one groupBy over the 3-row-per-triangle
+    expansion. Coefficient = 2*tri / (deg*(deg-1)), deg >= 2 nodes
+    only, rounded identically on both engines.
+
+    Runs the shared similarity-graph generator at cosine 0.05 (vs
+    PageRank's 0.35): the sparse 0.35 graph has max degree 1 at
+    fixture scale — no wedge can close — while 0.05 yields hundreds
+    of triangles, so the hash check exercises the enumeration for
+    real."""
+    pairs = _sim_pairs(spark, sf_dir, thr=0.05).localCheckpoint(eager=True)
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy(F.col("id_a").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    ornt = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = ornt.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("bdeg")
+    )
+    e2 = ornt.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"), F.col("ddeg").alias("cdeg")
+    )
+    wedges = e1.join(
+        e2,
+        (F.col("a") == F.col("a2"))
+        & (
+            (F.col("bdeg") < F.col("cdeg"))
+            | ((F.col("bdeg") == F.col("cdeg")) & (F.col("b") < F.col("c")))
+        ),
+    ).select("a", "b", "c")
+    closing = ornt.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    per = (
+        tri.select(F.col("a").alias("id"))
+        .union(tri.select(F.col("b").alias("id")))
+        .union(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering_coeff"),
         )
     )

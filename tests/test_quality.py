@@ -144,7 +144,7 @@ def test_heavy_hitters_counts_exact(spark, sf_dir, duck):
 # has its own dedicated correctness/plan coverage elsewhere.
 _EAGER_OPS = {
     "dedup_clusters", "dedup_clusters_bigstar", "dedup_canonical",
-    "graph_pagerank",
+    "graph_pagerank", "graph_triangles",
     "join_dpp", "compact_small_files", "avro_rewrite", "avro_compact",
     "sink_parquet", "sink_avro", "sink_bucketed",
 }
@@ -304,6 +304,17 @@ def test_r3_composite_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_triangle_plan_is_hash_joined(spark, sf_dir):
+    """graph_triangles' wedge-closing join must be a LEFT SEMI hash
+    join (each wedge emitted at most once however many times the
+    closing edge matches) and the post-checkpoint plan must stay
+    cartesian-free — the degree-orientation contract."""
+    df = _OPS["graph_triangles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_bitmap_distinct_is_two_level(spark, sf_dir):
