@@ -281,6 +281,82 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_collocation",
+    group="L",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+            FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    big AS (
+      SELECT p1.w AS w1, p2.w AS w2, COUNT(*) AS c
+      FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM big)
+    SELECT w1 || ' ' || w2 AS bigram, CAST(b.c AS BIGINT) AS n,
+           ROUND(LN((b.c / (SELECT n FROM nb))
+                    / ((u1.c / (SELECT n FROM nu))
+                       * (u2.c / (SELECT n FROM nu)))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    WHERE b.c >= 5
+    """,
+)
+def text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining: pointwise mutual information of
+    corpus bigrams, PMI = ln(p(ab) / (p(a)·p(b))) — the classic
+    signal for promoting word pairs to vocabulary phrases before
+    tokenizer training. Bigrams seen < 5 times are noise-floored out.
+
+    Three aggregations — unigram counts, bigram counts (built per-row
+    by the indexed-lambda transform, no self-join), corpus totals —
+    then the unigram table joins back TWICE (once per bigram side).
+    The vocabulary is orders of magnitude smaller than the corpus, so
+    both count joins broadcast and the totals are scalar broadcasts;
+    the only data-sized shuffles are the two count groupBys. The PMI
+    argument is a ratio of exact integer counts, so ln() sees the
+    same double on both engines and 6 dp rounding is stable."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' '))-1),"
+        " (t, i) -> struct(t AS w1, split(text, ' ')[i+1] AS w2))"
+    )
+    big = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = big.agg(F.sum("c").cast("double").alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.filter(F.col("c") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(nb))
+        .join(F.broadcast(nu))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c").cast("bigint").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("n_big"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
