@@ -34,18 +34,22 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos
-    (``nanosAsLong``, set in the session factory and re-asserted by the
-    registry's ``tune_for_oracle`` wrapper — not mutated here) and
-    integer-divide down to microseconds — exact, JVM-side, and identical
-    to DuckDB's ns->us truncation. Fixture event timestamps carry no
-    sub-microsecond component (TESTDATA.md seeds are ms-resolution), so
-    the truncation is lossless.
+    ``events.ts`` has been generated two ways across driver rounds:
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects,
+    so the session sets ``nanosAsLong`` and it arrives as a raw-nanos
+    BIGINT) and plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ).
+    Normalize both to a session-zone TIMESTAMP at microsecond
+    resolution — exact, JVM-side, and identical to DuckDB's view of the
+    same file under the UTC session zone ``tune_for_oracle`` pins.
+    The ns->us integer division is lossless for the fixtures
+    (TESTDATA.md seeds are ms-resolution).
     """
     if name == "events":
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":  # raw nanos via nanosAsLong
+            return df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
