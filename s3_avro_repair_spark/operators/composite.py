@@ -1047,3 +1047,180 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q_forecast_revenue",
+    group="Q",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-sum
+    query — how much revenue would appear if mid-range discounts on
+    small-quantity lines were eliminated for one year.
+
+    This is the query that exists to prove the scan path is right: no
+    join, no groupBy, one global aggregate. All four predicates are
+    parquet-pushable (min/max row-group pruning on l_shipdate; the
+    discount/quantity tests evaluate in the vectorized reader), the
+    projection reaches the scan as a 4-column ReadSchema, and the
+    aggregate is a partial-per-partition + single final row — the whole
+    plan is one WholeStageCodegen span with a 1-row shuffle. At 100 TB
+    with date-partitioned data the shipdate range also prunes
+    partitions before any task launches. Money math uses the exact
+    DECIMAL(18,2) pattern (exprs.py); the double literals 0.05/0.07
+    parse to identical IEEE doubles in both engines, so the BETWEEN
+    keeps the same rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+@register(
+    "q_late_lines_by_status",
+    group="Q",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): among lines
+    shipped late in one year, how many belonged to critical-priority
+    orders vs everything else, split by a line attribute. Re-expressed
+    against the fixtures' columns: the grouping attribute is
+    l_linestatus (there is no l_shipmode) and "late" is shipped >90
+    days after the order date (there are no commit/receipt dates) —
+    same shape as q_priority_waiting's lateness, but Q12's signature is
+    the dual conditional-count pivot, not the EXISTS.
+
+    Plan: the only shuffle is the fact-fact join on the order key (the
+    date filter decimates lineitem first and pushes to the scan); the
+    priority CASE folds into the partial aggregate, so the final
+    groupBy moves 2 groups x 2 counters per map task. At 100 TB both
+    sides bucket/co-partition on orderkey and the join is
+    shuffle-free."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_excess_shippers",
+    group="Q",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_year,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM shipped
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      AND qty_year * 2 > qty_total
+    """,
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in a set
+    of nations who moved more than half of their all-time volume of a
+    part family inside one year — the nested aggregate-subquery
+    pattern (Q20's ps_availqty > 0.5 * sum(l_quantity) test).
+    Re-expressed against the fixtures: there is no partsupp table, so
+    "available quantity" becomes the supplier's all-time shipped
+    quantity of that part and the threshold compares the one-year
+    slice against it — the same aggregate-vs-aggregate correlated
+    shape, with the correlation collapsed into ONE grouped pass
+    (conditional sum for the year slice alongside the total) instead
+    of a self-join of two aggregations.
+
+    Plan: part is pre-filtered on the name family and broadcast into
+    lineitem; one shuffle on (suppkey, partkey) computes both sums;
+    the half-volume test is exact decimal-integer arithmetic
+    (qty*2 > total, never a float fraction — the q_important_parts
+    rule); supplier ⋈ nation broadcasts onto the surviving handful of
+    keys. DISTINCT dedups suppliers who qualify via several parts.
+    At 100 TB the single grouped pass is the win: the textbook
+    two-subquery formulation scans lineitem twice and joins the
+    aggregates; this reads it once."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    in_year = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, dec2("l_quantity")).otherwise(zero)).alias("qty_year"),
+            F.sum(dec2("l_quantity")).alias("qty_total"),
+        )
+        .filter(F.col("qty_year") * 2 > F.col("qty_total"))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    return (
+        shipped.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            shipped.l_suppkey == s.s_suppkey,
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
