@@ -530,3 +530,83 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("euclid_dist", 4).alias("euclid_dist"),
         )
     )
+
+
+@register(
+    "dedup_segments",
+    group="L",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+            FROM toks),
+    segs AS (SELECT doc_id, (i-1)//8 AS chunk,
+                    string_agg(w, ' ' ORDER BY i) AS seg
+             FROM pos GROUP BY doc_id, (i-1)//8),
+    bp AS (SELECT md5(seg) AS h FROM segs
+           GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           COALESCE(string_agg(CASE WHEN h IS NULL THEN seg END,
+                               ' ' ORDER BY chunk), '') AS clean_text
+    FROM segs LEFT JOIN bp ON md5(segs.seg) = bp.h
+    GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level boilerplate removal — the
+    CCNet/Dolma paragraph-dedup pass, on fixture text that has no
+    newlines: documents are cut into consecutive 8-token segments (a
+    deterministic stand-in for paragraphs), any segment whose hash
+    occurs in >= 2 DISTINCT documents is corpus boilerplate (headers,
+    footers, license blurbs at web scale), and each document is
+    re-emitted with its boilerplate segments cut out, order preserved.
+
+    The plan is the honest 100 TB shape for a corpus REWRITE (data
+    motion is inherent — the output is the corpus): segmentation is a
+    narrow transform + posexplode (no shuffle); the boilerplate vote
+    groups by md5 digest, so the dedup decision shuffles 32-byte
+    hashes, never text; the verdict joins back on the digest; and the
+    single full-width shuffle is the final per-document reassembly
+    (groupBy doc_id -> sort by segment index -> rejoin), which any
+    rewriting pipeline pays exactly once. collect_list is
+    order-nondeterministic, so the struct sort on the unique chunk
+    index — not collection order — fixes determinism."""
+    d = table(spark, sf_dir, "documents")
+    segs = (
+        d.select(
+            "doc_id",
+            F.expr(
+                "posexplode(transform("
+                " sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),"
+                " i -> array_join(slice(split(text, ' '), i*8 + 1, 8), ' ')))"
+            ).alias("chunk", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    bp = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h", F.lit(1).alias("is_bp"))
+    )
+    marked = segs.join(bp, "h", "left")
+    kept_struct = F.when(
+        F.col("is_bp").isNull(), F.struct(F.col("chunk"), F.col("seg"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

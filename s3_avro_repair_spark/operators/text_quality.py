@@ -385,3 +385,63 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "text_repetition",
+    group="X",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t)-2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE CAST([] AS VARCHAR[]) END AS tri
+            FROM toks)
+    SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_tri,
+           CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS dup_cnt,
+           CASE WHEN len(tri) > 0
+                THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS dup_frac
+    FROM tri
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: the fraction of word trigrams
+    that are duplicates of an earlier trigram in the same document —
+    the Gopher/MassiveText "repetitive content" quality rule (docs with
+    high duplicate-n-gram fraction are boilerplate, spam, or decoding
+    loops and get filtered before training).
+
+    Entirely JVM-side higher-order functions on the token array —
+    transform over an index sequence builds the trigrams,
+    array_distinct measures uniqueness — so there is NO shuffle and NO
+    Python: the whole op is one narrow projection pass, which is the
+    correct 100 TB plan for a per-document score (embarrassingly
+    parallel, scales with scan bandwidth). The <3-token guard mirrors
+    the Spark `sequence(1, n)` descending-sequence footgun (sequence
+    with stop<start counts DOWN, it is not empty). dup_frac is the
+    same int/int double division on both engines — bit-identical, no
+    rounding fudge."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(t) >= 3,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', split(text, ' ')[i-1],"
+            " split(text, ' ')[i], split(text, ' ')[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = d.select("doc_id", tri.alias("tri"))
+    n_tri = F.size("tri").cast("bigint")
+    dup = (F.size("tri") - F.size(F.array_distinct("tri"))).cast("bigint")
+    return out.select(
+        "doc_id",
+        n_tri.alias("n_tri"),
+        dup.alias("dup_cnt"),
+        F.when(n_tri > 0, dup.cast("double") / n_tri)
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
