@@ -302,15 +302,60 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (``percent_rank`` / ``cume_dist``):
     every row's position within its partition's value distribution —
     the primitive behind percentile-based quality cutoffs ("drop the
-    bottom 5% of documents per language"). One shuffle on the
-    partition key; the order-by carries the row key so ranks are
-    deterministic under value ties."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    bottom 5% of documents per language").
+
+    ``PARTITION BY o_orderstatus`` is 2-3 values, so the naive window
+    puts half the table in one task at any scale — the same
+    low-cardinality straggler window_ntile had. Same cure, generalized
+    to a partitioned rank: range-repartition on (status, price, key)
+    so one status SPANS many tasks, row_number locally within
+    (task, status), then add per-(task, status) prefix counts — a
+    <= tasks x statuses row side table, broadcast back — to recover
+    the exact global rank and per-status total. The order key is
+    unique, so rank == row_number, and both distribution functions are
+    closed forms of it: pct_rank = (rn-1)/(n-1), cume = rn/n — the
+    identical integer-operand double divisions DuckDB's
+    PERCENT_RANK/CUME_DIST perform, so the hashes match bit-exactly.
+    Every heavy stage is parallel; this survives 100x."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ranged = o.repartitionByRange(
+        8, "o_orderstatus", "o_totalprice", "o_orderkey"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = ranged.withColumn("lrn", F.row_number().over(w_local))
+    counts = ranked.groupBy("pid", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Tiny side table: prefix/total per status over <= 8x3 rows.
+    w_prefix = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("o_orderstatus").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "pid",
+        "o_orderstatus",
+        F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    g = ranked.join(F.broadcast(offsets), ["pid", "o_orderstatus"]).withColumn(
+        "rn", F.col("off") + F.col("lrn")
+    )
+    n = F.col("total")
+    pct = F.when(n > 1, (F.col("rn") - 1).cast("double") / (n - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return g.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / n, 6).alias("cume"),
     )
 
 

@@ -355,3 +355,21 @@ def test_hll_merge_close_to_exact(spark, sf_dir, duck):
             f"region {row.n_regionkey}: approx={row.approx_customers} "
             f"exact={row.exact_customers} rel_err={rel_err:.4f}"
         )
+
+
+def test_distribution_plan_is_distributed(spark, sf_dir):
+    """window_distribution must compute ranks within (pid, status)
+    sub-partitions — a window partitioned only on 2-3-value
+    o_orderstatus pushes half the table through one task. The big
+    window must carry pid; only the tiny per-(pid,status) counts
+    side-table may window on the status alone."""
+    import re
+
+    df = _OPS["window_distribution"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_specs = re.findall(r"Window \[(.*?)\], \[(.*?)\]", plan)
+    assert win_specs, plan
+    row_number_specs = [p for f, p in win_specs if "row_number" in f]
+    assert row_number_specs, plan
+    for part in row_number_specs:
+        assert "pid" in part, f"rank window not pid-partitioned: {part}"
