@@ -787,3 +787,48 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "ts_rolling_median",
+    group="W",
+    oracle="""
+    SELECT user_id, event_id,
+           median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS med7
+    FROM events
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event EXACT median per user — the robust-smoothing
+    primitive (medians shrug off the spikes that wreck rolling means;
+    this is the denoiser behind metric dashboards and sensor QC).
+
+    Spark has no median window function, so the frame's values are
+    collected into a bounded array (ROWS frame of 7 — constant memory
+    per row, unlike a RANGE frame) and the median is computed with
+    array functions: sort, then pick the middle element (odd n) or
+    average the two middles (even n, during warm-up). Both engines
+    average the same two doubles, so results are bit-identical.
+    Partitioned by user_id (high cardinality), ordered with the
+    event_id tiebreak; one shuffle, no Python, constant per-row
+    state — the plan scales with users, not with history length."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    odd = F.element_at(a, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(a, (n / 2).cast("int"))
+        + F.element_at(a, (n / 2 + 1).cast("int"))
+    ) / 2
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
+    )
