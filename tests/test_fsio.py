@@ -105,3 +105,35 @@ def test_cli_out_preserves_relative_paths(spark, sf_dir, tmp_path):
     written = sorted(rows["written_to"])
     assert written[0].endswith("day=1/orders.avro")
     assert written[1].endswith("day=2/orders.avro")
+
+
+def test_events_loader_handles_both_ts_generations(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as BOTH parquet TIMESTAMP(NANOS)
+    (read as raw-nanos BIGINT under nanosAsLong) and timestamp[us]
+    (read as TIMESTAMP_NTZ). tables.table() must normalize either to a
+    session-zone TIMESTAMP with identical microsecond values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s3_avro_repair_spark.tables import table
+
+    # Current-generation fixture, whatever it is.
+    cur = table(spark, sf_dir, "events")
+    assert cur.schema["ts"].dataType.simpleString() == "timestamp"
+
+    # Synthesize a nanos-generation rendition of the same rows and
+    # check value-level equality through the loader.
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_idx = src.schema.get_field_index("ts")
+    ns = src.set_column(
+        ts_idx, "ts", src.column("ts").cast(pa.timestamp("ns"))
+    )
+    nsdir = tmp_path / "events_ns"
+    nsdir.mkdir()
+    pq.write_table(ns, str(nsdir / "events.parquet"))
+    old = table(spark, str(tmp_path / "events_ns"), "events")
+    assert old.schema["ts"].dataType.simpleString() == "timestamp"
+
+    a = cur.select("event_id", "ts").orderBy("event_id").limit(50).collect()
+    b = old.select("event_id", "ts").orderBy("event_id").limit(50).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
