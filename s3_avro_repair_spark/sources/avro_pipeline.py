@@ -72,6 +72,29 @@ ORDERS_SPARK_SCHEMA = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
     "o_totalprice double, o_orderdate_us long"
 )
+# Logical-type rendition: the same orders expressed through the Avro
+# spec's decimal (bytes, two's-complement big-endian unscaled int) and
+# date (int, days since epoch) annotations — the two logical types the
+# micros-long fixtures don't exercise.
+TYPED_ORDERS_SCHEMA = {
+    "type": "record",
+    "name": "order_typed",
+    "fields": [
+        {"name": "o_orderkey", "type": "long"},
+        {
+            "name": "o_totalprice",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 18,
+                "scale": 2,
+            },
+        },
+        {"name": "o_orderdate", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+TYPED_ORDERS_COLS = [f["name"] for f in TYPED_ORDERS_SCHEMA["fields"]]
+_US_PER_DAY = 86_400_000_000
 N_FILES = 8
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -104,6 +127,14 @@ def _orders_records(sf_dir: str) -> pd.DataFrame:
     # explicitly rather than assuming ns.
     df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]").astype("int64")
     return df[ORDERS_COLS]
+
+
+def _decimal_bytes(price: float) -> bytes:
+    """Avro spec decimal encoding of a 2-dp money double: the unscaled
+    integer as minimal two's-complement big-endian bytes."""
+    unscaled = int(round(price * 100))
+    n = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(n, "big", signed=True)
 
 
 def inject_truncate(data: bytes) -> bytes:
@@ -168,11 +199,13 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
     - ``mixed/orders_{0..7}.avro``      — files 0-3 written with an OLD
       3-field writer schema, 4-7 with the current 5-field one: the
       normal state of a years-old S3 prefix
+    - ``typed/orders_{0..7}.avro``      — decimal-bytes + date-int
+      logical-type rendition (deflate codec)
     """
-    # v3: bump when fixture layout / injection code changes so stale
+    # v4: bump when fixture layout / injection code changes so stale
     # cached trees from earlier rounds can never leak into results.
-    # (v3: added snappy/ and mixed/ generations.)
-    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v3")
+    # (v3: added snappy/ and mixed/; v4: added typed/.)
+    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v4")
     if os.path.isdir(root):
         return root
     os.makedirs(_CACHE_ROOT, exist_ok=True)
@@ -185,10 +218,12 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
         corrupt_dir = os.path.join(tmp, "corrupt")
         snappy_dir = os.path.join(tmp, "snappy")
         mixed_dir = os.path.join(tmp, "mixed")
+        typed_dir = os.path.join(tmp, "typed")
         os.makedirs(clean_dir)
         os.makedirs(corrupt_dir)
         os.makedirs(snappy_dir)
         os.makedirs(mixed_dir)
+        os.makedirs(typed_dir)
 
         import io
 
@@ -216,6 +251,25 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
                 mixed = ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "snappy")
             with open(os.path.join(mixed_dir, f"orders_{i}.avro"), "wb") as fo:
                 fo.write(mixed)
+            # logical-type rendition: decimal unscaled-int bytes +
+            # date-int days, per the Avro spec's encodings
+            typed = pd.DataFrame(
+                {
+                    "o_orderkey": part["o_orderkey"].to_numpy(),
+                    "o_totalprice": [
+                        _decimal_bytes(p) for p in part["o_totalprice"]
+                    ],
+                    "o_orderdate": (
+                        part["o_orderdate"] // _US_PER_DAY
+                    ).astype("int64"),
+                }
+            )
+            with open(os.path.join(typed_dir, f"orders_{i}.avro"), "wb") as fo:
+                fo.write(
+                    ocf_bytes(
+                        typed, TYPED_ORDERS_SCHEMA, TYPED_ORDERS_COLS, "deflate"
+                    )
+                )
 
         for i in range(N_FILES):
             data = clean_bytes[i]
@@ -274,11 +328,14 @@ def _binary_files(
 
 def read_avro_dir(
     spark: SparkSession, path: str, schema: dict, spark_schema: str,
-    n_tasks: int | None = None,
+    n_tasks: int | None = None, transform=None,
 ) -> DataFrame:
     """Strict distributed Avro scan: binaryFile -> mapInPandas decode,
     one file per row, corruption fails the task (scan semantics; use
-    avro_validate/avro_repair for tolerant reads)."""
+    avro_validate/avro_repair for tolerant reads). ``transform``, if
+    given, maps each decoded per-file frame (original column names) to
+    the output frame — the hook logical-type projections plug into,
+    still inside the same Arrow batch."""
     names = [f["name"] for f in schema["fields"]]
     # Output column names come from the Spark schema (positional), so a
     # logical-type column can surface under a clearer name (…_us).
@@ -290,6 +347,8 @@ def read_avro_dir(
                 _, recs = read_ocf(bytes(content))
                 if recs:
                     out = pd.DataFrame(recs, columns=names)
+                    if transform is not None:
+                        out = transform(out)
                     out.columns = out_names
                     yield out
         yield pd.DataFrame({n: [] for n in out_names})
@@ -459,6 +518,70 @@ def avro_scan_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = _binary_files(spark, os.path.join(root, "mixed"), n_tasks=N_FILES)
     return bf.select("content").mapInPandas(
         decode, schema="o_orderkey long, o_totalprice double, o_orderstatus string"
+    )
+
+
+@register(
+    "avro_scan_logical",
+    group="E",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+             AS totalprice_dec,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_day
+    FROM orders
+    """,
+)
+def avro_scan_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-type container scan: decimal and date, the two Avro
+    logical types the micros-long fixtures don't exercise, decoded per
+    the spec's encodings — decimal = two's-complement big-endian
+    unscaled-int bytes at a declared (precision, scale); date = int
+    days since the epoch. avro-tools (the reference's engine) reads
+    both natively; a scan that surfaced raw bytes/ints would be
+    dropping declared semantics on the floor.
+
+    The projection runs inside the same Arrow decode batch
+    (read_avro_dir's transform hook) — no second Python pass, no
+    shuffle; the op stays one-task-per-file like every E-group scan.
+    Output is canonical strings on BOTH engines (the repo's
+    no-raw-DATE/DECIMAL output discipline): Python
+    ``Decimal(unscaled).scaleb(-2)`` prints exactly like DuckDB's
+    ``DECIMAL(18,2) -> VARCHAR``, and ISO dates are unambiguous. The
+    fixture rendition is deflate-compressed, so this op also exercises
+    codec x logical-type together."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    root = ensure_avro_fixtures(sf_dir)
+    epoch = _dt.date(1970, 1, 1)
+
+    def project(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "totalprice_dec": [
+                    str(
+                        Decimal(
+                            int.from_bytes(b, "big", signed=True)
+                        ).scaleb(-2)
+                    )
+                    for b in pdf["o_totalprice"]
+                ],
+                "orderdate_day": [
+                    (epoch + _dt.timedelta(days=int(d))).isoformat()
+                    for d in pdf["o_orderdate"]
+                ],
+            }
+        )
+
+    return read_avro_dir(
+        spark,
+        os.path.join(root, "typed"),
+        TYPED_ORDERS_SCHEMA,
+        "o_orderkey long, totalprice_dec string, orderdate_day string",
+        n_tasks=N_FILES,
+        transform=project,
     )
 
 
