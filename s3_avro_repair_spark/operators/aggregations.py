@@ -540,3 +540,65 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", "hrs"), 4).alias("intercept"),
         F.regr_count("value", "hrs").alias("n"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    group="G",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id()`` — the bitmask that tells subtotal
+    rows apart from data rows whose grouping column is genuinely NULL.
+    Without it, a rollup over nullable keys is ambiguous; with it,
+    downstream consumers filter exactly the aggregation level they
+    want (gid=0 detail, 1 per-flag subtotal, 3 grand total). Same
+    partial-aggregation shape as agg_rollup: the expand node emits one
+    row per grouping set per input row, all map-side combined before
+    the single shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            F.col("gid").cast("bigint"),
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_median",
+    group="G",
+    oracle="""
+    SELECT l_returnflag, median(l_quantity) AS med_qty,
+           median(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (Spark 4's ``median`` aggregate =
+    percentile(0.5), a full-sort-per-group aggregate — the EXACT
+    counterpart of agg_approx_percentile's sketch). Both engines
+    interpolate even-count medians as the mean of the two middle
+    doubles, so results are bit-identical. At 100 TB exact medians are
+    what you reach for when the group count is modest and the answer
+    must be reproducible (approx_percentile's error bound moves with
+    compression); the sort is per-group and parallel across groups."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.median("l_extendedprice").alias("med_price"),
+    )

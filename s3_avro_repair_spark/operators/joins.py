@@ -396,3 +396,44 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
     )
+
+
+@register(
+    "join_lateral",
+    group="J",
+    oracle="""
+    SELECT n_name, s.s_suppkey, s.s_acctbal
+    FROM nation,
+         LATERAL (SELECT s_suppkey, s_acctbal
+                  FROM supplier
+                  WHERE s_nationkey = n_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey
+                  LIMIT 2) s
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 ``DataFrame.lateralJoin`` with
+    ``.outer()`` column references): for every nation, the top-2
+    suppliers by account balance — a per-row dependent subquery, the
+    SQL construct that generalizes ``explode`` to arbitrary correlated
+    table expressions.
+
+    Catalyst decorrelates the lateral subquery: the ORDER BY/LIMIT
+    per outer row becomes a ranked window over the join of the two
+    inputs (DecorrelateInnerQuery), so the physical plan is a join +
+    per-key top-k — never a per-row re-execution loop. That is why
+    this survives scale: the work is one pass over supplier however
+    many outer rows there are. (For THIS query shape
+    window_topk_per_group is the direct formulation; lateralJoin earns
+    its place when the inner table expression is not expressible as a
+    window — a UDTF call, a range probe, a per-row parameterized
+    scan.)"""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    sub = (
+        s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(2)
+        .select("s_suppkey", "s_acctbal")
+    )
+    return n.lateralJoin(sub).select("n_name", "s_suppkey", "s_acctbal")

@@ -218,3 +218,37 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(LongTokens(F.col("text").outer())).select(
         "doc_id", "token", "token_len"
     )
+
+
+@register(
+    "udf_python_arrow",
+    group="U",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> len(w) > 5)) AS BIGINT) AS long_words
+    FROM documents
+    """,
+)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``udf(useArrow=True)``) —
+    the third point on the Python-boundary spectrum: same per-ROW
+    programming model as udf_python (each call still sees one value),
+    but the transport is Arrow record batches instead of pickled rows,
+    which removes most of the serialization tax while keeping the
+    simple scalar signature (pandas_udf's per-BATCH model is the
+    faster-still fourth point). Worth having as a distinct surface
+    because it is the drop-in upgrade path for existing row UDFs.
+
+    Same caveat as udf_python, same discipline: the equivalent
+    JVM-side HOF (size(filter(split(...)))) is what you'd write in a
+    hot path; the oracle computes exactly that, so the UDF's result is
+    checked against the built-in's."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="long", useArrow=True)
+    def count_long_words(text: str) -> int:
+        return sum(1 for w in text.split(" ") if len(w) > 5)
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", count_long_words("text").alias("long_words"))
