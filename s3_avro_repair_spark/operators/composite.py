@@ -1224,3 +1224,127 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@register(
+    "q_corpus_pipeline",
+    group="Q",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE n_chars BETWEEN 100 AND 500
+        AND len(string_split(text,' ')) >= 3
+        AND CAST(len(list_transform(generate_series(1, len(string_split(text,' '))-2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2]))
+               - len(list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' '))-2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2]))) AS DOUBLE)
+            / (len(string_split(text,' ')) - 2) < 0.1
+    ),
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM gated),
+    pos AS (SELECT doc_id, lang, unnest(t) AS w,
+                   generate_subscripts(t, 1) AS i FROM toks),
+    segs AS (SELECT doc_id, lang, (i-1)//8 AS chunk,
+                    string_agg(w, ' ' ORDER BY i) AS seg
+             FROM pos GROUP BY doc_id, lang, (i-1)//8),
+    bp AS (SELECT md5(seg) AS h FROM segs
+           GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= 2),
+    cleaned AS (
+      SELECT doc_id, lang,
+             COALESCE(string_agg(CASE WHEN bp.h IS NULL THEN seg END,
+                                 ' ' ORDER BY chunk), '') AS clean_text
+      FROM segs LEFT JOIN bp ON md5(segs.seg) = bp.h
+      GROUP BY doc_id, lang
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS keep_id, lang, clean_text
+      FROM cleaned WHERE clean_text <> ''
+      GROUP BY lang, clean_text
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(len(string_split(clean_text, ' '))) AS BIGINT)
+             AS tokens_kept
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG in ONE Spark plan — the query a training
+    team actually ships: (1) quality gate (length window + Gopher
+    repetition rule, pure HOFs, no shuffle), (2) corpus-voted
+    boilerplate removal (the dedup_segments pass: the vote shuffles
+    md5 digests only), (3) exact dedup of the CLEANED text (two docs
+    that differ only by boilerplate collapse here — which is why the
+    stage order matters and the stages cannot be run as independent
+    jobs over the raw corpus), (4) per-language accounting of what
+    survived. Four LLM-pipeline ops composed end-to-end, checked as
+    one hash.
+
+    Scale shape: the narrow gate runs at scan bandwidth and decimates
+    first; every later shuffle (segment vote, reassembly, dedup,
+    stats) moves only survivors; text crosses the wire exactly twice
+    (reassembly, dedup) — the floor for a pipeline whose OUTPUT is
+    rewritten text. Catalyst CSEs the repeated token-split."""
+    d = table(spark, sf_dir, "documents")
+    t = "split(text, ' ')"
+    tri = (
+        f"transform(sequence(1, size({t}) - 2),"
+        f" i -> concat_ws(' ', {t}[i-1], {t}[i], {t}[i+1]))"
+    )
+    gated = d.filter(
+        (F.col("n_chars").between(100, 500))
+        & (F.expr(f"size({t})") >= 3)
+        & (
+            F.expr(
+                f"cast(size({tri}) - size(array_distinct({tri})) as double)"
+                f" / (size({t}) - 2)"
+            )
+            < 0.1
+        )
+    ).select("doc_id", "lang", "text")
+    segs = gated.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"posexplode(transform(sequence(0, cast(ceil(size({t}) / 8.0) as int) - 1),"
+            f" i -> array_join(slice({t}, i*8 + 1, 8), ' ')))"
+        ).alias("chunk", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    bp = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h", F.lit(1).alias("is_bp"))
+    )
+    cleaned = (
+        segs.join(bp, "h", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_bp").isNull(),
+                                F.struct(F.col("chunk"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    deduped = (
+        cleaned.filter(F.col("clean_text") != "")
+        .groupBy("lang", "clean_text")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum(F.size(F.split("clean_text", " "))).cast("bigint").alias("tokens_kept"),
+    )

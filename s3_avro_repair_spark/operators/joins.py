@@ -437,3 +437,59 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal")
     )
     return n.lateralJoin(sub).select("n_name", "s_suppkey", "s_acctbal")
+
+
+@register(
+    "join_asof_forward",
+    group="J",
+    oracle="""
+    SELECT e.event_id,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS next_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the EARLIEST order of
+    the same customer at-or-after the event time — the other direction
+    of pandas.merge_asof, the lookup behind "what did the user buy
+    NEXT after this touchpoint".
+
+    Same no-join plan as join_asof, mirrored: union both sides tagged
+    by kind, one ``first(order_date, ignorenulls=True)`` window per
+    user over the CURRENT-ROW-TO-FOLLOWING frame. Events sort before
+    orders at equal ts (kind 0 < 1) so ``ts <= o_orderdate`` ties
+    match; tied orders share the o_orderdate, so returning the DATE
+    keeps ties deterministic. One shuffle on user_id, linear in
+    |events| + |orders| — never the quadratic ts-residual join."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(0).alias("kind"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "nxt", F.first("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("kind") == 0) & F.col("nxt").isNotNull())
+        .select(
+            "event_id",
+            F.col("nxt").cast("date").cast("string").alias("next_orderdate"),
+        )
+    )
