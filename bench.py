@@ -51,6 +51,8 @@ HEADLINE = [
     "filter_in_subquery",   # P group: semi-join decorrelation
     "q_small_qty_parts",    # Q group: Q17 decorrelated correlated agg
     "avro_scan_snappy",     # E group: snappy container decode path
+    "q_forecast_revenue",   # Q group: Q6 pure scan-filter-sum (scan path)
+    "q_corpus_pipeline",    # Q/L: full curation DAG in one plan
 ]
 
 

@@ -1287,30 +1287,40 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     first; every later shuffle (segment vote, reassembly, dedup,
     stats) moves only survivors; text crosses the wire exactly twice
     (reassembly, dedup) — the floor for a pipeline whose OUTPUT is
-    rewritten text. Catalyst CSEs the repeated token-split."""
+    rewritten text. The trigram gate is built INDEX-FREE (zip_with
+    over shifted slices, see text_repetition): Catalyst pushes the
+    gate's filter all the way into the parquet scan, substituting the
+    token alias into the condition — with an indexed transform that
+    re-runs split(text) per element (O(tokens^2), measured 13s for
+    this pipeline); with zip_with each slice evaluates once per row,
+    so the aggressive pushdown is the BENEFIT it should be."""
     d = table(spark, sf_dir, "documents")
-    t = "split(text, ' ')"
-    tri = (
-        f"transform(sequence(1, size({t}) - 2),"
-        f" i -> concat_ws(' ', {t}[i-1], {t}[i], {t}[i+1]))"
+    toks = d.select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("t")
     )
-    gated = d.filter(
+    with_tri = toks.withColumn(
+        "tri",
+        F.expr(
+            "zip_with(zip_with(slice(t, 1, greatest(size(t)-2, 0)),"
+            " slice(t, 2, greatest(size(t)-2, 0)), (x, y) -> concat_ws(' ', x, y)),"
+            " slice(t, 3, greatest(size(t)-2, 0)), (x, y) -> concat_ws(' ', x, y))"
+        ),
+    )
+    gated = with_tri.filter(
         (F.col("n_chars").between(100, 500))
-        & (F.expr(f"size({t})") >= 3)
+        & (F.size("t") >= 3)
         & (
-            F.expr(
-                f"cast(size({tri}) - size(array_distinct({tri})) as double)"
-                f" / (size({t}) - 2)"
-            )
+            (F.size("tri") - F.size(F.array_distinct("tri"))).cast("double")
+            / (F.size("t") - 2)
             < 0.1
         )
-    ).select("doc_id", "lang", "text")
+    ).select("doc_id", "lang", "t")
     segs = gated.select(
         "doc_id",
         "lang",
         F.expr(
-            f"posexplode(transform(sequence(0, cast(ceil(size({t}) / 8.0) as int) - 1),"
-            f" i -> array_join(slice({t}, i*8 + 1, 8), ' ')))"
+            "posexplode(transform(sequence(0, cast(ceil(size(t) / 8.0) as int) - 1),"
+            " i -> array_join(slice(t, i*8 + 1, 8), ' ')))"
         ).alias("chunk", "seg"),
     ).withColumn("h", F.md5("seg"))
     bp = (

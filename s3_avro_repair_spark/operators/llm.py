@@ -574,13 +574,18 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-nondeterministic, so the struct sort on the unique chunk
     index — not collection order — fixes determinism."""
     d = table(spark, sf_dir, "documents")
+    # Materialize the token array BEFORE the segment lambda: an inline
+    # split inside transform re-evaluates per element (O(tokens^2) per
+    # doc); CollapseProject keeps the alias because it is referenced
+    # more than once, so this projection is load-bearing.
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
     segs = (
-        d.select(
+        toks.select(
             "doc_id",
             F.expr(
                 "posexplode(transform("
-                " sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),"
-                " i -> array_join(slice(split(text, ' '), i*8 + 1, 8), ' ')))"
+                " sequence(0, cast(ceil(size(t) / 8.0) as int) - 1),"
+                " i -> array_join(slice(t, i*8 + 1, 8), ' ')))"
             ).alias("chunk", "seg"),
         )
         .withColumn("h", F.md5("seg"))

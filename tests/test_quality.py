@@ -373,3 +373,19 @@ def test_distribution_plan_is_distributed(spark, sf_dir):
     assert row_number_specs, plan
     for part in row_number_specs:
         assert "pid" in part, f"rank window not pid-partitioned: {part}"
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_dir):
+    """q_forecast_revenue is the scan-path proof: all four predicates
+    must push into the parquet source (shipdate range prunes row
+    groups; the projection must be the 4 needed columns, not *)."""
+    df = _OPS["q_forecast_revenue"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read, read
+    # Full lineitem is 11 columns; the scan must read only 4.
+    assert read.count(",") <= 3, f"over-wide scan: {read}"
