@@ -58,11 +58,19 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = d.withColumn("tokens", F.split("text", " "))
+    # Index-free shingles (zip_with over shifted slices): an indexed
+    # lambda dereferencing `tokens` re-runs the substituted split per
+    # element when the optimizer collapses the alias — O(tokens^2).
+    # zip_with pads the shorter slice with null and concat_ws skips
+    # nulls, reproducing the old <3-token edge cases exactly.
     shingled = toks.withColumn(
         "shingles",
         F.expr(
-            "transform(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
-            " (t, i) -> concat_ws(' ', t, tokens[i+1], tokens[i+2]))"
+            "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
+            " slice(tokens, 2, greatest(size(tokens)-2, 1)),"
+            " (x, y) -> concat_ws(' ', x, y)),"
+            " slice(tokens, 3, greatest(size(tokens)-2, 1)),"
+            " (x, y) -> concat_ws(' ', x, y))"
         ),
     ).select("doc_id", "shingles")
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)

@@ -84,17 +84,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: the eval side's distinct n-gram FINGERPRINTS
     (md5, not the text) are dim-sized and broadcast; corpus n-grams —
-    generated inside codegen by the indexed-lambda transform, exploded,
-    hashed — semi-join against them with zero shuffle of corpus text.
-    Only the matched doc_ids (a tiny set) reach the final broadcast
-    anti join, so corpus rows are never shuffled at all."""
+    built index-free (zip_with over shifted slices; an indexed lambda
+    dereferencing the token array re-runs the substituted split per
+    element, O(tokens^2)), exploded, hashed — semi-join against them
+    with zero shuffle of corpus text. Only the matched doc_ids (a tiny
+    set) reach the final broadcast anti join, so corpus rows are never
+    shuffled at all."""
     d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
     grams = F.expr(
-        "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
-        " (t, i) -> concat_ws(' ', t, split(text, ' ')[i + 1],"
-        " split(text, ' ')[i + 2]))"
+        "zip_with(zip_with(slice(tk, 1, greatest(size(tk)-2, 0)),"
+        " slice(tk, 2, greatest(size(tk)-2, 0)), (x, y) -> concat_ws(' ', x, y)),"
+        " slice(tk, 3, greatest(size(tk)-2, 0)), (x, y) -> concat_ws(' ', x, y))"
     )
-    g = d.select("doc_id", F.explode(grams).alias("ng")).select(
+    g = toks.select("doc_id", F.explode(grams).alias("ng")).select(
         "doc_id", F.md5("ng").alias("h")
     )
     bench = g.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
