@@ -140,8 +140,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingle",
             F.explode(
                 F.expr(
-                    "array_distinct(transform(slice(tokens, 1, greatest(size(tokens)-2, 0)),"
-                    " (t, i) -> concat_ws(' ', t, tokens[i+1], tokens[i+2])))"
+                    "array_distinct(zip_with(zip_with("
+                    " slice(tokens, 1, greatest(size(tokens)-2, 0)),"
+                    " slice(tokens, 2, greatest(size(tokens)-2, 0)),"
+                    " (x, y) -> concat_ws(' ', x, y)),"
+                    " slice(tokens, 3, greatest(size(tokens)-2, 0)),"
+                    " (x, y) -> concat_ws(' ', x, y)))"
                 )
             ),
         )
@@ -212,16 +216,19 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram counts via the indexed-lambda ``transform`` HOF —
-    the bigram array is built inside codegen per row (no self-join, no
-    window), then one explode + count shuffle."""
+    """Corpus bigram counts via index-free zip_with-of-slices — the
+    bigram array is built inside codegen per row (no self-join, no
+    window; an indexed lambda dereferencing the split re-runs it per
+    element after alias substitution), then one explode + count
+    shuffle."""
     d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("tk"))
     bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' '))-1),"
-        " (t, i) -> concat_ws(' ', t, split(text, ' ')[i+1]))"
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1),"
+        " (x, y) -> concat_ws(' ', x, y))"
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -332,12 +339,13 @@ def text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split("text", " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    tk = d.select(F.split("text", " ").alias("tk"))
     bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' '))-1),"
-        " (t, i) -> struct(t AS w1, split(text, ' ')[i+1] AS w2))"
+        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1),"
+        " (x, y) -> struct(x AS w1, y AS w2))"
     )
     big = (
-        d.select(F.explode(bigrams).alias("bg"))
+        tk.select(F.explode(bigrams).alias("bg"))
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
