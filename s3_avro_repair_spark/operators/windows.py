@@ -832,3 +832,78 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    group="W",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, event_id, ts, user_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_type, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_users_so_far
+    FROM flagged
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) — "unique users seen so far" per
+    event type at every event — the growth-curve query behind every
+    adoption dashboard. SQL window functions cannot express
+    COUNT(DISTINCT) over a running frame; the standard decomposition
+    is (1) flag each (type, user)'s FIRST event via a row_number
+    window on the high-cardinality (type, user) key, then (2) a
+    running SUM of the flags per type.
+
+    Step (2) partitions on 4-ish event types — the low-cardinality
+    straggler again — so it runs as window_running's distributed
+    two-phase prefix sum: range-repartition on (type, ts, event_id),
+    local integer prefix sums per (task, type), per-(task, type)
+    chunk totals broadcast back as offsets. Integer addition is
+    associative, so the chunked sums are exactly the oracle's
+    single-window result at any parallelism."""
+    e = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    ranged = flagged.repartitionByRange(
+        16, "event_type", "ts", "event_id"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("local_sum", F.sum("first_seen").over(w_local))
+    totals = ranged.groupBy("pid", "event_type").agg(
+        F.sum("first_seen").alias("chunk_total")
+    )
+    w_prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid",
+        "event_type",
+        F.coalesce(F.sum("chunk_total").over(w_prefix), F.lit(0)).alias("off"),
+    )
+    return local.join(F.broadcast(offsets), ["pid", "event_type"]).select(
+        "event_type",
+        "event_id",
+        (F.col("off") + F.col("local_sum")).cast("bigint").alias(
+            "distinct_users_so_far"
+        ),
+    )
