@@ -631,3 +631,52 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+_RANGE_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS ea, c.embedding AS eb
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    un AS (SELECT query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
+           FROM pairs),
+    dots AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+             SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+      FROM un GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id
+    FROM dots WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35
+"""
+
+
+@register("sim_range_search", group="L", oracle=_RANGE_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold (range) similarity search: ALL neighbors with cosine
+    >= tau for each query — the other retrieval mode next to top-k
+    (dedup wants "everything above 0.95", not "the best 5"). Same
+    broadcast-query posture as sim_knn_topk: the corpus is scanned
+    once with no shuffle of the big side, and because the predicate
+    replaces the rank window, the plan is pure scan->filter — even
+    cheaper than kNN (no sort at all). Output is id pairs only, so the
+    hash is float-free; tau=0.35 sits >3e-3 from every pair's cosine
+    at the checked scale, ~12 orders of magnitude beyond cross-engine
+    summation-order ulp noise, so threshold membership is stable."""
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    q = en.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    ).repartition(32)
+    pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
+    cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return pairs.filter(cos >= 0.35).select("query_id", "neighbor_id")
