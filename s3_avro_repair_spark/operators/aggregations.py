@@ -602,3 +602,53 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("med_qty"),
         F.median("l_extendedprice").alias("med_price"),
     )
+
+
+@register("agg_distinct_kmv", group="G", oracle=None)
+def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch, hand-rolled from DataFrame
+    primitives — the "novel sketch as a composition" pattern: where
+    agg_hll_merge uses Spark's built-in HLL, this builds a MERGEABLE
+    sketch with nothing but xxhash64 + collect_set + array functions,
+    the recipe for any sketch Spark lacks.
+
+    KMV: hash every key to u ~ Uniform(0,1); keep the k smallest
+    distinct u's per group; if the sketch holds fewer than k values
+    the count is EXACT (= sketch size), else estimate (k-1)/u_(k).
+    Merging groups = union the value lists, re-sort, cut to k — shown
+    here by merging the per-flag sketches into a global estimate, the
+    same partial/merge algebra a datacenter rollup needs (per-day
+    sketches -> monthly distinct without re-scanning). Expected
+    relative error ~ 1/sqrt(k-1) ~ 13% at k=64.
+
+    Scale shape: the shuffle carries per-group sketches (k doubles),
+    never keys; collect_set dedups map-side first. rows-only vs the
+    oracle (DuckDB cannot reproduce xxhash64); the estimate-vs-exact
+    bound is pinned by test_kmv_accuracy."""
+    k = 64
+    li = table(spark, sf_dir, "lineitem")
+    u = (F.xxhash64("l_orderkey").cast("double") / F.lit(float(2**64))) + 0.5
+    per_flag = (
+        li.select("l_returnflag", u.alias("u"))
+        .groupBy("l_returnflag")
+        .agg(F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("sk"))
+    )
+    est = F.when(
+        F.size("sk") < k, F.size("sk").cast("double")
+    ).otherwise(F.lit(k - 1) / F.element_at("sk", k))
+    flags = per_flag.select(
+        F.lit("flag").alias("scope"),
+        F.col("l_returnflag").alias("key"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+    merged = per_flag.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))), 1, k
+        ).alias("sk")
+    )
+    total = merged.select(
+        F.lit("all").alias("scope"),
+        F.lit("*").alias("key"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+    return flags.unionByName(total)

@@ -44,13 +44,14 @@ def test_contract_shape():
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
     # multi-format scans / maintenance ops + snappy/mixed-schema scans.
-    assert len(qs) >= 216
+    assert len(qs) >= 217
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "agg_approx_distinct", "scan_sample", "dedup_near",
         "sim_ann_lsh", "dedup_simhash", "sim_ann_ivf",
         "agg_approx_percentile", "agg_heavy_hitters", "agg_hll_merge",
+        "agg_distinct_kmv",
     }
 
 

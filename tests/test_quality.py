@@ -389,3 +389,32 @@ def test_q6_predicates_reach_the_scan(spark, sf_dir):
     assert "l_extendedprice" in read, read
     # Full lineitem is 11 columns; the scan must read only 4.
     assert read.count(",") <= 3, f"over-wide scan: {read}"
+
+
+def test_kmv_accuracy(spark, sf_dir):
+    """agg_distinct_kmv's estimates must sit within the KMV error
+    envelope (~1/sqrt(k-1) ~ 13% at k=64; assert 3 sigma) of the exact
+    distinct counts, and sketches smaller than k must be EXACT."""
+    from pyspark.sql import functions as F
+    from s3_avro_repair_spark.tables import table
+
+    est = {
+        (r["scope"], r["key"]): r["est_distinct"]
+        for r in _OPS["agg_distinct_kmv"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        ("flag", r["l_returnflag"]): r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    exact[("all", "*")] = li.select("l_orderkey").distinct().count()
+    assert set(est) == set(exact)
+    for key, e in est.items():
+        x = exact[key]
+        if x < 64:
+            assert e == x, f"{key}: sub-k sketch must be exact ({e} != {x})"
+        else:
+            rel = abs(e - x) / x
+            assert rel < 0.40, f"{key}: est {e} vs exact {x} (rel {rel:.2%})"
