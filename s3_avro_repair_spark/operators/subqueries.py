@@ -145,3 +145,58 @@ def scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=o,
         c=c,
     )
+
+
+@register(
+    "subquery_correlated_agg",
+    group="P",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ct
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, c_nationkey, CAST(ct AS DOUBLE) AS spend
+    FROM spend s
+    WHERE ct * (SELECT COUNT(*) FROM spend x
+                WHERE x.c_nationkey = s.c_nationkey)
+          > 2 * (SELECT SUM(ct) FROM spend x
+                 WHERE x.c_nationkey = s.c_nationkey)
+    """,
+)
+def subquery_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated AGGREGATE subqueries in a predicate — customers who
+    spent more than twice their nation's average customer spend,
+    written the way an analyst writes it (two per-row nested
+    aggregates over the spend CTE). Catalyst decorrelates both into
+    ONE aggregate grouped by the correlation key joined back — the
+    per-row lookups never execute per row, and since both subqueries
+    share the correlation key they share the exchange.
+
+    The threshold uses the scale-invariant exact form
+    ``ct * COUNT > 2 * SUM`` (decimal x integer on both engines) —
+    never ``ct > 2 * SUM/COUNT``, whose division result differs
+    between engines' decimal/double rules. Identical correlated SQL
+    runs on both engines; the test is that two DIFFERENT
+    decorrelation implementations produce the same rows."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT c_custkey, c_nationkey,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ct
+          FROM {c} JOIN {o} ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_nationkey
+        )
+        SELECT c_custkey, c_nationkey, CAST(ct AS DOUBLE) AS spend
+        FROM spend s
+        WHERE ct * (SELECT COUNT(*) FROM spend x
+                    WHERE x.c_nationkey = s.c_nationkey)
+              > 2 * (SELECT SUM(ct) FROM spend x
+                     WHERE x.c_nationkey = s.c_nationkey)
+        """,
+        c=c,
+        o=o,
+    )
