@@ -480,3 +480,31 @@ def test_property_schema_resolution_lattice(case):
         return
     got = read_ocf_resolved(data, reader)
     assert got == [exp for exp, _ in want]
+
+
+def test_decimal_bytes_negative_roundtrip():
+    """The typed/ fixture only carries positive prices; pin the Avro
+    spec's two's-complement decimal encoding for negatives and zero,
+    including values whose magnitude needs a sign-extension byte."""
+    from decimal import Decimal
+
+    from s3_avro_repair_spark.sources.avro_pipeline import _decimal_bytes
+
+    for price, unscaled in [
+        (0.0, 0),
+        (1.27, 127),
+        (1.28, 128),       # needs a leading 0x00 (sign room)
+        (-1.28, -128),     # fits in one byte
+        (-1.29, -129),
+        (-327.68, -32768),
+        (655.36, 65536),
+    ]:
+        b = _decimal_bytes(price)
+        back = int.from_bytes(b, "big", signed=True)
+        assert back == unscaled, (price, b.hex(), back)
+        assert str(Decimal(back).scaleb(-2)) == f"{price:.2f}"
+        # The spec requires valid two's complement, not minimal length;
+        # sign-extension must therefore be value-preserving.
+        assert int.from_bytes(
+            (b"\xff" if unscaled < 0 else b"\x00") + b, "big", signed=True
+        ) == unscaled
