@@ -238,3 +238,63 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         schema="doc_id long, n_bytes long, thumb_len long, thumb_md5 string",
     )
+
+
+@register(
+    "mm_batch_embed",
+    group="L",
+    oracle="""
+    SELECT doc_id, i - 1 AS dim_no,
+           CAST(CAST('0x' || substr(md5(text), (i - 1) * 2 + 1, 2) AS INT)
+                AS DOUBLE) / 255 AS val
+    FROM documents, generate_series(1, 4) AS g(i)
+    """,
+)
+def mm_batch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding-extraction plumbing — the GPU-inference batch
+    shape: rows are re-chunked into fixed-size INFERENCE batches
+    (64 here; in production the accelerator's optimal batch) inside
+    mapInPandas, independent of however Arrow sliced the input, and
+    each batch is "embedded" in one vectorized call. That
+    re-batching loop — accumulate, cut, flush the remainder — is
+    exactly what serving a real encoder (CLIP/Whisper/ViT) needs;
+    the model call here is a deterministic md5-derived 4-dim kernel
+    so the whole path stays hash-checked.
+
+    Output is exploded to (doc_id, dim_no, val) — flat rows compare
+    robustly across engines, and val = byte/255 is the same exact
+    double division on both sides."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    batch_size, dims = 64, 4
+
+    def embed_batches(batches):
+        buf_ids, buf_blobs = [], []
+
+        def flush():
+            ids, dim_nos, vals = [], [], []
+            for doc_id, blob in zip(buf_ids, buf_blobs):
+                h = hashlib.md5(bytes(blob)).hexdigest()
+                for j in range(dims):
+                    ids.append(doc_id)
+                    dim_nos.append(j)
+                    vals.append(int(h[j * 2 : j * 2 + 2], 16) / 255)
+            buf_ids.clear()
+            buf_blobs.clear()
+            return pd.DataFrame(
+                {"doc_id": ids, "dim_no": dim_nos, "val": vals}
+            )
+
+        for pdf in batches:
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                buf_ids.append(doc_id)
+                buf_blobs.append(blob)
+                if len(buf_ids) >= batch_size:
+                    yield flush()
+        if buf_ids:
+            yield flush()
+
+    return d.mapInPandas(
+        embed_batches, schema="doc_id long, dim_no int, val double"
+    )
