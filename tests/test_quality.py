@@ -147,6 +147,7 @@ _EAGER_OPS = {
     "graph_pagerank", "graph_triangles",
     "join_dpp", "compact_small_files", "avro_rewrite", "avro_compact",
     "sink_parquet", "sink_avro", "sink_bucketed",
+    "join_bucketed_tables",
 }
 
 
@@ -418,3 +419,12 @@ def test_kmv_accuracy(spark, sf_dir):
         else:
             rel = abs(e - x) / x
             assert rel < 0.40, f"{key}: est {e} vs exact {x} (rel {rel:.2%})"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """join_bucketed_tables must run its join AND its aggregation on
+    the persisted bucketing with zero shuffles — the whole point of
+    paying the bucketed write once."""
+    df = _OPS["join_bucketed_tables"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
