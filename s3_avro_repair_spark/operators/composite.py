@@ -1358,3 +1358,68 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
         F.sum(F.size(F.split("clean_text", " "))).cast("bigint").alias("tokens_kept"),
     )
+
+
+@register(
+    "q_cohort_retention",
+    group="Q",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, event_type AS cohort, date_trunc('week', ts) AS w0
+      FROM ranked WHERE rn = 1
+    ),
+    activity AS (
+      SELECT e.user_id, c.cohort,
+             CAST(date_diff('day', CAST(c.w0 AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS week_no
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT cohort, week_no,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort, week_no
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by their FIRST event's
+    type (the acquisition-channel analog in this schema), tracked by
+    weeks-since-first-week activity: the table behind every retention
+    dashboard, and a composite of three primitives this engine ships
+    (first-row-per-key window, self-join on the key, distinct-count
+    aggregate).
+
+    Week arithmetic is deliberately day-diff DIV 7 over week-TRUNCATED
+    dates on BOTH engines — DuckDB's date_diff('week', ...) counts
+    Monday crossings, which is the same number here but a different
+    function contract; using one shared integer formula removes the
+    cross-engine semantic risk entirely. All shuffles key on user_id
+    (the window, the join) so AQE co-partitions the chain; the final
+    matrix is cohorts x weeks — tiny at any scale."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cohorts = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("cohort"),
+            F.date_trunc("week", "ts").alias("w0"),
+        )
+    )
+    activity = e.join(cohorts, "user_id").select(
+        "user_id",
+        "cohort",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('week', ts) AS DATE),"
+            " CAST(w0 AS DATE)) DIV 7 AS BIGINT)"
+        ).alias("week_no"),
+    )
+    return activity.groupBy("cohort", "week_no").agg(
+        F.countDistinct("user_id").cast("bigint").alias("active_users")
+    )
