@@ -652,3 +652,29 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("bigint").alias("est_distinct"),
     )
     return flags.unionByName(total)
+
+
+@register(
+    "agg_bool",
+    group="G",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_low_discount,
+           bool_or(l_quantity > 49) AS any_max_qty,
+           CAST(COUNT(*) FILTER (WHERE l_tax > 0.05) AS BIGINT)
+             AS n_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (``every`` / ``some``) plus a FILTERed
+    count — the invariants-per-group surface ("did every row satisfy
+    X, did any row hit Y") that data-quality monitors are built on.
+    All three fold into one partial aggregate: booleans are and/or
+    monoids, so the map-side combine is as cheap as a sum's."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.1).alias("all_low_discount"),
+        F.some(F.col("l_quantity") > 49).alias("any_max_qty"),
+        F.count_if(F.col("l_tax") > 0.05).cast("bigint").alias("n_high_tax"),
+    )

@@ -493,3 +493,49 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt").cast("date").cast("string").alias("next_orderdate"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    group="J",
+    oracle="""
+    WITH a AS (SELECT NULLIF(CAST(floor(l_discount * 100 + 0.5) AS INT), 5)
+                 AS tier
+               FROM lineitem WHERE l_quantity < 5),
+    b AS (SELECT DISTINCT
+                 NULLIF(CAST(floor(l_discount * 100 + 0.5) AS INT), 5) AS tier
+          FROM lineitem WHERE l_quantity > 45)
+    SELECT a.tier, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a JOIN b ON a.tier IS NOT DISTINCT FROM b.tier
+    GROUP BY a.tier
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    join-surface axis where NULL keys MATCH each other instead of
+    silently dropping — what you want when NULL is a real category
+    ("no tier") rather than unknown. The fixtures carry no natural
+    nulls (filter_null precedent), so a tier column is manufactured
+    with NULLIF; the null tier's row in the output is the semantic
+    point. floor(x*100 + 0.5) is the skill-blessed half-up that is
+    bit-identical on both engines — never CAST(x*100 AS INT), whose
+    truncation flips on 5.000000000000001-style doubles.
+
+    Plan note: <=> is still an equi-join (both engines hash NULL to a
+    match bucket) — hash/sort-merge, never a loop; Spark broadcasts
+    the distinct-tier side here."""
+    li = table(spark, sf_dir, "lineitem")
+    tier = F.nullif(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("int"), F.lit(5)
+    )
+    a = li.filter(F.col("l_quantity") < 5).select(tier.alias("tier"))
+    b = (
+        li.filter(F.col("l_quantity") > 45)
+        .select(tier.alias("btier"))
+        .distinct()
+    )
+    return (
+        a.join(F.broadcast(b), a.tier.eqNullSafe(b.btier))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
