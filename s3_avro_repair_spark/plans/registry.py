@@ -43,10 +43,13 @@ _REGISTRY: dict[str, Op] = {}
 # round's attestation window. Rotation log:
 #   r1+r2 attested: P / J / G / W / O / F (projections, joins, aggregations,
 #                   windows, sorts, scalar fns).
-#   r3 window (this order): E (avro_pipeline), L (llm, multimodal,
-#                   llm_pipeline), S (scans), U (udfs), top of Q (composite).
-#   r4 candidates: T (stream_ops), X (text_quality, extras), C (lifecycle,
-#                   graph), subqueries, rest of Q.
+#   r3 window (this order): E (avro_pipeline, 14) + L (llm 13, multimodal 6,
+#                   llm_pipeline 7) + top of S (scans) = exactly the 50
+#                   never-attested E/L/S keys (late-r3 ops grew L, pushing
+#                   U/Q out of this round's window).
+#   r4 candidates: rest of S, U (udfs), Q (composite), T (stream_ops),
+#                   X (text_quality, extras), C (lifecycle, graph),
+#                   subqueries — reorder this list to front-load them.
 _OP_MODULES = [
     "s3_avro_repair_spark.sources.avro_pipeline",   # E
     "s3_avro_repair_spark.operators.llm",           # L
