@@ -907,3 +907,64 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users_so_far"
         ),
     )
+
+
+@register(
+    "window_streaks",
+    group="W",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             date_diff('day', DATE '1970-01-01', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(MIN(d) AS VARCHAR) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, len, streak_start FROM (
+      SELECT user_id, len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    ) WHERE rn = 1
+    """,
+)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the OTHER
+    gaps-and-islands formulation (window_sessionize flags gaps with a
+    running sum; this one uses the date-minus-row_number constant:
+    consecutive days share ``epoch_day(d) - rn``, so the island key
+    needs NO lag/lead at all). Engagement analytics' favorite query.
+
+    All three windows partition on high-cardinality user_id and every
+    aggregate is keyed on (user_id, grp) — one shuffle chain on one
+    key, AQE co-partitions it. Dates compare as integer epoch days;
+    the streak tie-break (earliest start) makes the per-user winner
+    deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.unix_date("d") - F.row_number().over(w)
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").cast("string").alias("streak_start"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "len", "streak_start")
+    )
