@@ -121,3 +121,76 @@ def test_knn_matches_bruteforce_numpy(spark, sf_dir):
         expect = [i for _, i in order[:5]]
         got = out[out.query_id == qid].sort_values("rank").neighbor_id.tolist()
         assert got == expect, (qid, got, expect)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpus_with_boilerplate(draw):
+    """Docs built from 8-token blocks: each doc gets private-vocabulary
+    blocks (no accidental cross-doc segment collisions) plus, in a
+    chosen subset, one shared boilerplate block at a block-aligned
+    position — exactly one 8-token segment the vote should catch."""
+    n_docs = draw(st.integers(min_value=2, max_value=6))
+    bp_block = " ".join(f"bp_{j}" for j in range(8))
+    docs = []
+    for i in range(n_docs):
+        n_blocks = draw(st.integers(min_value=1, max_value=5))
+        has_bp = draw(st.booleans())
+        bp_pos = draw(st.integers(min_value=0, max_value=n_blocks - 1))
+        blocks = [
+            " ".join(f"w{i}_{b}_{j}" for j in range(8))
+            for b in range(n_blocks)
+        ]
+        if has_bp:
+            blocks[bp_pos] = bp_block
+        docs.append((i, blocks))
+    return docs, bp_block
+
+
+@settings(max_examples=5, deadline=None)
+@given(case=_corpus_with_boilerplate())
+def test_dedup_segments_removes_exactly_the_shared_blocks(case, tmp_path_factory):
+    """Property: dedup_segments removes a segment iff it occurs in >=2
+    distinct documents — here, the injected boilerplate block when at
+    least two docs carry it, and never the private-vocabulary blocks."""
+    import pandas as pd
+
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    docs, bp_block = case
+    spark = get_session("pytest", master="local[8]", shuffle_partitions=8)
+    tmp = tmp_path_factory.mktemp("segprop")
+    rows = []
+    for doc_id, blocks in docs:
+        text = " ".join(blocks)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "text": text,
+                "lang": "en",
+                "source": "prop",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(rows).to_parquet(str(tmp / "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["dedup_segments"].fn(spark, str(tmp)).collect()
+    }
+    n_bp_docs = sum(1 for _, blocks in docs if bp_block in blocks)
+    for doc_id, blocks in docs:
+        got = out[doc_id]
+        assert got["n_seg"] == len(blocks)
+        if n_bp_docs >= 2 and bp_block in blocks:
+            expect_removed = sum(1 for b in blocks if b == bp_block)
+            expect_clean = " ".join(b for b in blocks if b != bp_block)
+        else:
+            expect_removed = 0
+            expect_clean = " ".join(blocks)
+        assert got["n_removed"] == expect_removed, (doc_id, dict(got.asDict()))
+        assert got["clean_text"] == expect_clean, (doc_id, dict(got.asDict()))
