@@ -583,3 +583,45 @@ def join_bucketed_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "item_rev"),
         )
     )
+
+
+@register(
+    "scan_parquet_partitioned",
+    group="S",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+)
+def scan_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet scan with PARTITION PRUNING: the
+    orders table laid out as ``year=YYYY/`` directories (written once,
+    cached per scale), then filtered on the partition column — the
+    filter never touches data, it prunes whole directories at planning
+    time (PartitionFilters in the scan node, pinned by
+    test_partitioned_parquet_scan_prunes). This is THE layout decision
+    for a 100 TB fact table: a date-range query reads only its
+    partitions' bytes, and the same pruning is what join_dpp extends
+    to runtime join keys. The partition column comes back via
+    partition discovery; data columns stay pruned to the projection."""
+    import os
+
+    from .avro_pipeline import _CACHE_ROOT
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_CACHE_ROOT, f"{tag}_pqpart_v1")
+    if not os.path.isdir(root):
+        o = table(spark, sf_dir, "orders")
+        (
+            o.withColumn("year", F.year("o_orderdate"))
+            .write.partitionBy("year")
+            .mode("overwrite")
+            .parquet(root + ".tmp")
+        )
+        os.rename(root + ".tmp", root)
+    return (
+        spark.read.parquet(root)
+        .filter(F.col("year") == 1996)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -428,3 +428,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     df = _OPS["join_bucketed_tables"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+
+
+def test_partitioned_parquet_scan_prunes(spark, sf_dir):
+    """scan_parquet_partitioned's year filter must prune partitions at
+    the scan (PartitionFilters), not run as a data filter."""
+    df = _OPS["scan_parquet_partitioned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "year" in pf, f"year not in partition filters: {pf}"
+    assert "1996" in pf, pf
