@@ -678,3 +678,44 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_quantity") > 49).alias("any_max_qty"),
         F.count_if(F.col("l_tax") > 0.05).cast("bigint").alias("n_high_tax"),
     )
+
+
+@register(
+    "agg_mad",
+    group="G",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_extendedprice) AS med_price,
+           mad(l_extendedprice) AS mad_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    metric behind outlier fences (|x - median| > k*MAD survives the
+    heavy tails that wreck stddev-based z-scores; ts_zscore's robust
+    cousin). Spark has no MAD aggregate, so it is composed from two
+    exact median passes: per-group median, broadcast back (group
+    cardinality is tiny), then the median of absolute deviations.
+    DuckDB's built-in mad() is the oracle — a composition checked
+    against a native implementation. Both engines interpolate
+    even-count medians identically, and |x - m| subtracts the same
+    doubles, so the result is bit-exact.
+
+    Scale shape: two grouped aggregations over the fact + one
+    broadcast join — both aggregations partial-aggregate map-side
+    (medians via per-group sort, parallel across groups)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med_price",
+        F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("adev"),
+    )
+    return dev.groupBy("l_returnflag", "med_price").agg(
+        F.median("adev").alias("mad_price")
+    ).select("l_returnflag", "med_price", "mad_price")
