@@ -260,3 +260,43 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linestatus") == "F") & (F.col("l_partkey") % 2 == 0)
     ).select("l_suppkey")
     return a.intersectAll(b)
+
+
+@register(
+    "set_union_schema_evolved",
+    group="O",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COALESCE(o_orderpriority, 'UNKNOWN') AS o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    )
+    """,
+)
+def set_union_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — combining an OLD extract (no priority
+    column yet) with a NEW one by COLUMN NAME, null-filling the
+    missing column (``unionByName(allowMissingColumns=True)`` /
+    DuckDB's ``UNION ALL BY NAME``). This is the union you actually
+    need across dataset generations: positional UNION would silently
+    misalign or refuse. Same union-two-generations semantics the
+    avro_scan_mixed reader implements at the FILE level, expressed at
+    the relational level; the trailing COALESCE gives the legacy rows
+    an explicit marker, the standard backfill idiom. Pure narrow op —
+    no shuffle, both branches keep their scan pushdowns."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias("o_orderpriority"),
+    )

@@ -44,7 +44,7 @@ def test_contract_shape():
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
     # multi-format scans / maintenance ops + snappy/mixed-schema scans.
-    assert len(qs) >= 226
+    assert len(qs) >= 227
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
