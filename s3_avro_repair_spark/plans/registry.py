@@ -13,6 +13,7 @@ alias in the Spark plan and the oracle SQL.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import importlib
 from collections.abc import Callable
@@ -43,27 +44,29 @@ _REGISTRY: dict[str, Op] = {}
 # round's attestation window. Rotation log:
 #   r1+r2 attested: P / J / G / W / O / F (projections, joins, aggregations,
 #                   windows, sorts, scalar fns).
-#   r3 window (this order): E (avro_pipeline, 14) + L (llm 13, multimodal 6,
+#   r3 window: E (avro_pipeline, 14) + L (llm 13, multimodal 6,
 #                   llm_pipeline 7) + top of S (scans) = exactly the 50
-#                   never-attested E/L/S keys (late-r3 ops grew L, pushing
-#                   U/Q out of this round's window).
-#   r4 candidates: rest of S, U (udfs), Q (composite), T (stream_ops),
-#                   X (text_quality, extras), C (lifecycle, graph),
-#                   subqueries — reorder this list to front-load them.
+#                   never-attested E/L/S keys.
+#   r4 window (this order): Q composite (24) + T stream_ops (11) + U udfs (7)
+#                   + P subqueries (5) + C graph (3) = exactly the 50
+#                   never-attested Q/T/U/P/C keys. Cumulative after r4: 159/227.
+#   r5 candidates: text_quality (10) + extras (9) + lifecycle (9) + scans'
+#                   5 unattested + aggregations' 9 + windows' 9 tail → reorder
+#                   to front-load 50 of the remaining 68.
 _OP_MODULES = [
+    "s3_avro_repair_spark.operators.composite",     # Q (composite queries)
+    "s3_avro_repair_spark.streaming.stream_ops",    # T
+    "s3_avro_repair_spark.operators.udfs",          # U
+    "s3_avro_repair_spark.operators.subqueries",    # P (subquery surface)
+    "s3_avro_repair_spark.operators.graph",         # C (graph analytics)
     "s3_avro_repair_spark.sources.avro_pipeline",   # E
     "s3_avro_repair_spark.operators.llm",           # L
     "s3_avro_repair_spark.operators.multimodal",    # L (multimodal)
     "s3_avro_repair_spark.operators.llm_pipeline",  # L (corpus management)
     "s3_avro_repair_spark.sources.scans",           # S
-    "s3_avro_repair_spark.operators.udfs",          # U
-    "s3_avro_repair_spark.operators.composite",     # Q (composite queries)
-    "s3_avro_repair_spark.streaming.stream_ops",    # T
     "s3_avro_repair_spark.operators.text_quality",  # X (extra text ops)
     "s3_avro_repair_spark.operators.extras",        # X (scale patterns)
     "s3_avro_repair_spark.operators.lifecycle",     # C (CDC / data lifecycle)
-    "s3_avro_repair_spark.operators.graph",         # C (graph analytics)
-    "s3_avro_repair_spark.operators.subqueries",    # P (subquery surface)
     "s3_avro_repair_spark.operators.projections",   # P
     "s3_avro_repair_spark.operators.joins",         # J
     "s3_avro_repair_spark.operators.aggregations",  # G
@@ -75,7 +78,7 @@ _OP_MODULES = [
 _loaded = False
 
 
-def register(name: str, group: str, oracle: str | None = None):
+def register(name: str, group: str, oracle: str | Callable[[], str] | None = None):
     """Decorator: register a query fn under an op key.
 
     The registered callable is wrapped so that ``tune_for_oracle`` runs
@@ -83,6 +86,13 @@ def register(name: str, group: str, oracle: str | None = None):
     oracles for timestamp-casting ops (fn_date, join_asof, …) depend on
     UTC session time and the nanos-parquet read conf. Wrapping here
     guarantees determinism without each op remembering to call it.
+
+    ``oracle`` may be a zero-arg callable resolved lazily in
+    ``load_all()``: an oracle builder that imports ANOTHER op module
+    (e.g. stream_avro_salvage's, which reads avro_pipeline's expected
+    corruption layout) must not run at decoration time, or the
+    imported module's ops would register mid-window and corrupt the
+    driver's first-50 attestation rotation.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -108,5 +118,8 @@ def load_all() -> dict[str, Op]:
     if not _loaded:
         for mod in _OP_MODULES:
             importlib.import_module(mod)
+        for name, op in list(_REGISTRY.items()):
+            if callable(op.oracle):
+                _REGISTRY[name] = dataclasses.replace(op, oracle=op.oracle())
         _loaded = True
     return dict(_REGISTRY)

@@ -534,7 +534,7 @@ def _salvage_oracle() -> str:
     """
 
 
-@register("stream_avro_salvage", group="T", oracle=_salvage_oracle())
+@register("stream_avro_salvage", group="T", oracle=_salvage_oracle)
 def stream_avro_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous salvage triage — the reference's one-shot
     validate/repair sweep as a STANDING stream: corrupt container

@@ -44,7 +44,10 @@ def test_contract_shape():
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
     # multi-format scans / maintenance ops + snappy/mixed-schema scans.
-    assert len(qs) >= 227
+    # Pinned EXACT (==, not >=): net-new ops are frozen until the
+    # driver's 50-keys/round attestation window covers all 227 — both
+    # silent de-registration and silent growth must fail here.
+    assert len(qs) == 227
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
@@ -104,3 +107,40 @@ def test_survey_2b_keys_all_registered():
     assert len(SURVEY_2B_KEYS) == 83
     missing = SURVEY_2B_KEYS - set(entrymod.queries())
     assert not missing, f"SURVEY §2B keys missing: {sorted(missing)}"
+
+
+# The driver attests the FIRST 50 registered keys each round. Round 4's
+# window must be exactly the never-before-attested Q/T/U/P/C keys
+# (composite 24 + stream_ops 11 + udfs 7 + subqueries 5 + graph 3); any
+# import-order accident (e.g. an oracle builder importing another op
+# module at decoration time) would silently re-attest old keys instead.
+R4_WINDOW = {
+    "q_shipping_priority", "q_local_supplier", "q_returned_items",
+    "q_large_orders", "q_corpus_curation", "q_nation_volume",
+    "q_promo_revenue", "q_disjunctive_revenue", "q_small_qty_parts",
+    "q_top_supplier", "q_lapsed_customers", "q_order_count_dist",
+    "q_min_cost_supplier", "q_important_parts", "q_priority_waiting",
+    "q_market_share", "q_yearly_growth", "q_parts_supplier_count",
+    "q_suppliers_kept_waiting", "q_forecast_revenue",
+    "q_late_lines_by_status", "q_excess_shippers", "q_corpus_pipeline",
+    "q_cohort_retention",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_agg",
+    "stream_join", "stream_foreach_batch", "stream_complete_mode",
+    "stream_avro_ingest", "stream_avro_salvage",
+    "udf_python", "udf_pandas_scalar", "udf_pandas_grouped_agg",
+    "udtf_apply_in_pandas", "udtf_map_in_pandas", "udtf_python",
+    "udf_python_arrow",
+    "filter_in_subquery", "filter_not_exists", "scalar_subquery_filter",
+    "scalar_subquery_select", "subquery_correlated_agg",
+    "graph_pagerank", "kmeans_quantized", "graph_triangles",
+}
+
+
+def test_r4_attestation_window():
+    assert len(R4_WINDOW) == 50
+    first50 = list(_OPS)[:50]
+    assert set(first50) == R4_WINDOW, (
+        f"window drift: extra={set(first50) - R4_WINDOW}, "
+        f"missing={R4_WINDOW - set(first50)}"
+    )
