@@ -105,11 +105,24 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.i = p1.i + 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_both
-      FROM sh a JOIN sh b
+    dfreq AS (SELECT lang, source, shingle, COUNT(*) AS df
+              FROM sh GROUP BY 1, 2, 3),
+    rare AS (SELECT sh.doc_id, sh.lang, sh.source, sh.shingle
+             FROM sh JOIN dfreq
+               ON dfreq.lang = sh.lang AND dfreq.source = sh.source
+              AND dfreq.shingle = sh.shingle
+             WHERE dfreq.df <= 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b
         ON a.lang = b.lang AND a.source = b.source
        AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -121,18 +134,27 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram-shingle Jaccard near-dup pairs, blocked by
-    (lang, source) so candidate generation is per-block linear-ish —
-    the exact counterpart of dedup_near's approximate LSH. The join is
-    shingle-equality (set intersection as a groupBy), never all-pairs:
-    docs sharing zero shingles never meet.
+    """EXACT n-gram-shingle Jaccard near-dup pairs via the standard
+    two-stage exact-dedup layout: (1) CANDIDATE generation joins only
+    on shingles with per-block document frequency <= 16, so a
+    stop-shingle (boilerplate shared by most docs of a (lang, source)
+    block) contributes ZERO candidate pairs instead of a quadratic
+    blowup — per-shingle join fanout is bounded by df^2 <= 256
+    regardless of corpus size; (2) exact Jaccard is then computed on
+    the FULL shingle sets of surviving pairs (the df-cap never skews a
+    reported score, it only prunes which pairs are scored).
 
-    Scale note: a stop-shingle (one appearing in most docs of a block)
-    makes its equality join quadratic within the block. At 100x, cap
-    candidate generation by shingle document-frequency (drop high-df
-    shingles from the CANDIDATE join only, then compute exact jaccard
-    on full sets for surviving pairs) — the standard two-stage
-    exact-dedup layout."""
+    Semantics: a pair whose ONLY shared shingles are stop-shingles is
+    not reported — the right call for near-dup detection, where shared
+    boilerplate is exactly the signal to ignore. The DuckDB oracle
+    applies the identical df<=16 cap, so the contract is exact.
+
+    Scale: stage-1 shuffles rare shingles only (bounded fanout);
+    stage-2 cost is sum over candidate pairs of |shingles(a)| — linear
+    in candidates, never all-pairs. tests/test_llm_ops.py proves the
+    bound on a corpus where every doc shares one boilerplate shingle:
+    candidate count stays 0 from that shingle while true near-dups
+    (sharing rare shingles) still surface."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     sh = (
         d.withColumn("tokens", F.split("text", " "))
@@ -152,8 +174,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    dfreq = sh.groupBy("lang", "source", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    rare = sh.join(
+        dfreq.filter(F.col("df") <= 16).drop("df"),
+        ["lang", "source", "shingle"],
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -161,7 +190,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    fa, fb = sh.alias("fa"), sh.alias("fb")
+    inter = (
+        cand.join(fa, F.col("id_a") == F.col("fa.doc_id"))
+        .join(
+            fb,
+            (F.col("id_b") == F.col("fb.doc_id"))
+            & (F.col("fa.shingle") == F.col("fb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("both"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")

@@ -341,11 +341,29 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(lower(text), 1, 12) AS blk,
              substr(lower(text), 1, 64) AS head
       FROM documents
+    ),
+    bands AS (
+      SELECT doc_id, lang, blk, head,
+        (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
+           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                      & 1) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
+           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                      & 2) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
+           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                      & 4) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
+           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+                      & 8) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
+        AS band
+      FROM n
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
-    FROM n a JOIN n b
-      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM bands a JOIN bands b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.band = b.band
+     AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 8
     """,
 )
@@ -355,13 +373,22 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift that shingles miss). Levenshtein is O(len²) per pair, so two
     bounds keep it sane: the comparison runs on a 64-char normalized
     head (never whole documents), and candidate pairs come from a
-    (lang, 12-char-prefix) equality block — a join on the block key,
-    never all-pairs. Same two-stage layout as dedup_ngram_jaccard;
-    prefix blocking's known miss (edits inside the first 12 chars) is
-    the standard trade and the LSH family covers that case.
+    (lang, 12-char-prefix, 4-bit head-SimHash band) equality block —
+    a join on the block key, never all-pairs.
 
-    Both engines implement textbook Levenshtein, so the distance is
-    hash-exact — no rounding."""
+    The SimHash band is the hot-prefix skew guard: real corpora pile
+    onto prefixes like "the " or templated headers, and a prefix-only
+    block goes quadratic in that pile. The band is a majority vote per
+    bit over the head's tokens (bit j of a token = bit j of the first
+    hex digit of its md5), so two heads within a few token edits
+    almost always land in the same band, while a hot-prefix block with
+    diverse tails splits into up to 16 sub-blocks — pair work in a
+    block of H docs drops from H² to ~(H/16)²·16 = H²/16. Both block
+    keys and levenshtein are bit-identical across engines (md5 hex +
+    strpos arithmetic mirror conv(…,16,10)), so the contract stays
+    hash-exact. Known misses — edits in the first 12 chars, or band
+    flips from heavy head rewrites — are the standard blocking trade;
+    the LSH family covers those cases."""
     d = table(spark, sf_dir, "documents")
     n = d.select(
         "doc_id",
@@ -369,13 +396,25 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower("text"), 1, 12).alias("blk"),
         F.substring(F.lower("text"), 1, 64).alias("head"),
     )
-    a, b = n.alias("a"), n.alias("b")
+
+    def _bit_vote(j: int) -> str:
+        return (
+            "(CASE WHEN aggregate(split(head, ' '), 0, (acc, w) -> acc + "
+            f"(CASE WHEN (cast(conv(substr(md5(w), 1, 1), 16, 10) AS int) & {1 << j})"
+            f" <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+
+    bands = n.withColumn(
+        "band", F.expr(" + ".join(_bit_vote(j) for j in range(4)))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(dist <= 8)

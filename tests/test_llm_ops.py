@@ -194,3 +194,121 @@ def test_dedup_segments_removes_exactly_the_shared_blocks(case, tmp_path_factory
             expect_clean = " ".join(blocks)
         assert got["n_removed"] == expect_removed, (doc_id, dict(got.asDict()))
         assert got["clean_text"] == expect_clean, (doc_id, dict(got.asDict()))
+
+
+def _write_docs(tmp, rows):
+    import pandas as pd
+
+    full = [
+        {
+            "doc_id": r[0],
+            "text": r[1],
+            "lang": r[2] if len(r) > 2 else "en",
+            "source": r[3] if len(r) > 3 else "t",
+            "n_chars": len(r[1]),
+        }
+        for r in rows
+    ]
+    pd.DataFrame(full).to_parquet(str(tmp / "documents.parquet"))
+    return str(tmp)
+
+
+def test_ngram_jaccard_stop_shingle_is_not_quadratic(spark, tmp_path_factory):
+    """The df<=16 candidate cap: 60 docs of one block share an 8-token
+    boilerplate sentence (every boilerplate shingle has df=60), which
+    under a plain shingle-equality join would generate all C(60,2)=1770
+    pairs ABOVE the 0.12 threshold (shared=6 of 18 shingles -> 0.2).
+    With the cap, boilerplate contributes ZERO candidates, while a
+    planted near-dup pair sharing RARE shingles still surfaces with its
+    exact full-set Jaccard."""
+    tmp = tmp_path_factory.mktemp("stopshingle")
+    bp = " ".join(f"b{j}" for j in range(8))
+    rows = []
+    for i in range(60):
+        private = " ".join(f"p{i}_{j}" for j in range(12))
+        rows.append((i, f"{private} {bp}"))
+    # planted near-dups: 20 shared rare tokens, one substitution
+    base = [f"dup_{j}" for j in range(20)]
+    near = list(base)
+    near[10] = "edited"
+    rows.append((100, " ".join(base)))
+    rows.append((101, " ".join(near)))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_ngram_jaccard"].fn(spark, sf).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (100, 101) in pairs
+    # boilerplate-only pairs are pruned by the df-cap, not merely
+    # sub-threshold: none of the 1770 would-be pairs appear at all.
+    assert pairs == {(100, 101)}, sorted(pairs)[:10]
+    # exact full-set jaccard for the survivor: shingles 18 each,
+    # shared = 18 - 3*1 (substitution kills 3 shingles) = 15 wait:
+    # base has 18 shingles, near has 18, intersection = 18 - 3 = 15
+    # (the 3 shingles covering position 10), union = 21.
+    jac = float(out.loc[(out.id_a == 100) & (out.id_b == 101), "jaccard"].iloc[0])
+    assert jac == pytest.approx(15 / 21, abs=1e-4)
+
+
+def _py_band(head: str) -> int:
+    import hashlib
+
+    votes = [0] * 4
+    for w in head.split(" "):
+        d = int(hashlib.md5(w.encode()).hexdigest()[0], 16)
+        for j in range(4):
+            votes[j] += 1 if (d >> j) & 1 else -1
+    return sum(1 << j for j in range(4) if votes[j] > 0)
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_hot_prefix_band_bounds_block(spark, tmp_path_factory):
+    """Hot-prefix skew guard: 48 docs share the same 12-char prefix
+    (one block under prefix-only blocking). The 4-bit head-SimHash band
+    must (a) split that pile into several sub-blocks, capping pair work,
+    (b) keep byte-identical heads together (dist-0 dups always found),
+    and (c) reproduce exactly the Python-reference within-band pairs."""
+    tmp = tmp_path_factory.mktemp("hotprefix")
+    rows = []
+    for i in range(48):
+        tail = " ".join(f"tail{i}_{j} var{(i * 7 + j) % 13}" for j in range(6))
+        rows.append((i, f"template hdr {tail}"))
+    dup = "template hdr identical body of the planted duplicate pair xyz"
+    rows.append((200, dup))
+    rows.append((201, dup))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_levenshtein"].fn(spark, sf).toPandas()
+    got = {(r.id_a, r.id_b): r.edit_dist for r in out.itertuples()}
+    assert got.get((200, 201)) == 0
+
+    # Python reference: same (lang, blk, band) blocking, same 64-char
+    # heads, textbook levenshtein <= 8.
+    heads = {r[0]: r[1].lower()[:64] for r in rows}
+    blocks = {}
+    for doc_id, h in heads.items():
+        blocks.setdefault((h[:12], _py_band(h)), []).append(doc_id)
+    expect = {}
+    for ids in blocks.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = sorted((ids[x], ids[y]))
+                d = _py_lev(heads[a], heads[b])
+                if d <= 8:
+                    expect[(a, b)] = d
+    assert got == expect
+
+    # skew bound: the 48-doc hot-prefix pile splits into >= 4 bands and
+    # no single band holds more than half of it.
+    hot_bands = [_py_band(heads[i]) for i in range(48)]
+    sizes = {b: hot_bands.count(b) for b in set(hot_bands)}
+    assert len(sizes) >= 4, sizes
+    assert max(sizes.values()) <= 24, sizes
