@@ -30,12 +30,14 @@ per-task.
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
 import io
 import json
 import struct
 import zlib
 from dataclasses import dataclass, field
+from decimal import Decimal
 
 MAGIC = b"Obj\x01"
 SYNC_SIZE = 16
@@ -121,6 +123,27 @@ def _union_branch_matches(branch, val) -> bool:
         return bt == "null"
     if isinstance(val, bool):
         return bt == "boolean"
+    # logical-typed Python values select their annotated branch
+    # (datetime before date: datetime IS a date subclass)
+    if isinstance(val, Decimal):
+        return (
+            isinstance(branch, dict)
+            and bt in ("bytes", "fixed")
+            and branch.get("logicalType") == "decimal"
+        )
+    if isinstance(val, _dt.datetime):
+        return (
+            isinstance(branch, dict)
+            and bt == "long"
+            and branch.get("logicalType")
+            in ("timestamp-micros", "timestamp-millis")
+        )
+    if isinstance(val, _dt.date):
+        return (
+            isinstance(branch, dict)
+            and bt == "int"
+            and branch.get("logicalType") == "date"
+        )
     if isinstance(val, int):
         return bt in ("int", "long")
     if isinstance(val, float):
@@ -138,8 +161,121 @@ def _union_branch_matches(branch, val) -> bool:
     return False
 
 
+# --- logical types (Avro spec §Logical Types) ------------------------------
+#
+# The annotation lives in the SCHEMA (json round-trips untouched through
+# write_ocf), but value-level fidelity needs codec support on both sides:
+# encode_value accepts logical Python values (Decimal / date / datetime)
+# wherever the schema carries the matching logicalType, and
+# materialize_logical() upgrades a raw decoded tree to those values. Raw
+# renditions (bytes / int / long) still encode unchanged, so a
+# read->rewrite pass that never materializes stays byte-exact.
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _min_signed_bytes(n: int) -> bytes:
+    """Minimal two's-complement big-endian rendition — what Java
+    BigInteger.toByteArray (the avro-tools reference behavior) emits."""
+    length = ((n.bit_length() if n >= 0 else (n + 1).bit_length()) // 8) + 1
+    return n.to_bytes(length, "big", signed=True)
+
+
+def _decimal_unscaled(schema, val: Decimal) -> int:
+    scale = schema.get("scale", 0)
+    u = val.scaleb(scale)
+    if u != u.to_integral_value():
+        raise ValueError(
+            f"decimal {val} does not fit scale {scale} exactly"
+        )
+    return int(u)
+
+
+def _encode_logical(schema, lt: str, val, out: bytearray) -> bool:
+    """Encode a logical-typed Python value; returns False when ``val``
+    is a raw rendition so the caller falls through to base encoding."""
+    base = schema["type"]
+    if lt == "decimal" and isinstance(val, Decimal):
+        unscaled = _decimal_unscaled(schema, val)
+        if base == "bytes":
+            _encode_bytes(_min_signed_bytes(unscaled), out)
+        elif base == "fixed":
+            try:
+                out.extend(
+                    unscaled.to_bytes(schema["size"], "big", signed=True)
+                )
+            except OverflowError as exc:
+                raise ValueError(
+                    f"decimal {val} overflows fixed({schema['size']})"
+                ) from exc
+        else:
+            raise ValueError(f"decimal on base type {base!r}")
+        return True
+    if lt == "date" and isinstance(val, _dt.date) and not isinstance(
+        val, _dt.datetime
+    ):
+        _encode_long((val - _EPOCH_DATE).days, out)
+        return True
+    if lt in ("timestamp-micros", "timestamp-millis") and isinstance(
+        val, _dt.datetime
+    ):
+        v = val if val.tzinfo else val.replace(tzinfo=_dt.timezone.utc)
+        delta = v - _EPOCH_DT
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        if lt == "timestamp-millis":
+            if us % 1000:
+                raise ValueError(f"{val} has sub-millisecond precision")
+            _encode_long(us // 1000, out)
+        else:
+            _encode_long(us, out)
+        return True
+    return False
+
+
+def materialize_logical(schema, val):
+    """Recursively convert a RAW decoded value tree into logical Python
+    values per the schema's logicalType annotations: decimal bytes/fixed
+    -> Decimal at the declared scale, date int -> datetime.date,
+    timestamp-micros/millis long -> tz-aware UTC datetime. Unannotated
+    values pass through untouched."""
+    t = _schema_type(schema)
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt == "decimal" and isinstance(val, (bytes, bytearray)):
+            return Decimal(
+                int.from_bytes(val, "big", signed=True)
+            ).scaleb(-schema.get("scale", 0))
+        if lt == "date" and isinstance(val, int):
+            return _EPOCH_DATE + _dt.timedelta(days=val)
+        if lt == "timestamp-micros" and isinstance(val, int):
+            return _EPOCH_DT + _dt.timedelta(microseconds=val)
+        if lt == "timestamp-millis" and isinstance(val, int):
+            return _EPOCH_DT + _dt.timedelta(milliseconds=val)
+    if t == "record":
+        return {
+            f["name"]: materialize_logical(f["type"], val[f["name"]])
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [materialize_logical(schema["items"], v) for v in val]
+    if t == "map":
+        return {
+            k: materialize_logical(schema["values"], v) for k, v in val.items()
+        }
+    if t == "union":
+        for branch in schema:
+            if _union_branch_matches(branch, val):
+                return materialize_logical(branch, val)
+    return val
+
+
 def encode_value(schema, val, out: bytearray) -> None:
     t = _schema_type(schema)
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt is not None and _encode_logical(schema, lt, val, out):
+            return
     if t == "null":
         return
     if t == "boolean":
@@ -564,6 +700,15 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
     if not res.healthy:
         raise CorruptBlock("; ".join(res.errors))
     return res.schema, res.records
+
+
+def read_ocf_logical(data: bytes) -> tuple[dict, list]:
+    """Strict read with logicalType materialization: decimal -> Decimal,
+    date -> datetime.date, timestamp-* -> tz-aware datetime. The typed
+    counterpart of read_ocf for consumers that want declared semantics
+    instead of raw renditions (avro-tools ``tojson`` behavior)."""
+    schema, recs = read_ocf(data)
+    return schema, [materialize_logical(schema, r) for r in recs]
 
 
 # ---------------------------------------------------------------------------

@@ -328,23 +328,28 @@ def _binary_files(
 
 def read_avro_dir(
     spark: SparkSession, path: str, schema: dict, spark_schema: str,
-    n_tasks: int | None = None, transform=None,
+    n_tasks: int | None = None, transform=None, logical: bool = False,
 ) -> DataFrame:
     """Strict distributed Avro scan: binaryFile -> mapInPandas decode,
     one file per row, corruption fails the task (scan semantics; use
     avro_validate/avro_repair for tolerant reads). ``transform``, if
     given, maps each decoded per-file frame (original column names) to
     the output frame — the hook logical-type projections plug into,
-    still inside the same Arrow batch."""
+    still inside the same Arrow batch. ``logical=True`` materializes
+    logicalType annotations at the CODEC level (read_ocf_logical), so
+    the frame carries Decimal / date / datetime values."""
     names = [f["name"] for f in schema["fields"]]
     # Output column names come from the Spark schema (positional), so a
     # logical-type column can surface under a clearer name (…_us).
     out_names = [c.strip().split()[0] for c in spark_schema.split(",")]
 
     def decode(batches):
+        from ..avro_codec import read_ocf_logical
+
+        reader = read_ocf_logical if logical else read_ocf
         for pdf in batches:
             for content in pdf["content"]:
-                _, recs = read_ocf(bytes(content))
+                _, recs = reader(bytes(content))
                 if recs:
                     out = pd.DataFrame(recs, columns=names)
                     if transform is not None:
@@ -549,29 +554,23 @@ def avro_scan_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Decimal(unscaled).scaleb(-2)`` prints exactly like DuckDB's
     ``DECIMAL(18,2) -> VARCHAR``, and ISO dates are unambiguous. The
     fixture rendition is deflate-compressed, so this op also exercises
-    codec x logical-type together."""
-    import datetime as _dt
-    from decimal import Decimal
+    codec x logical-type together.
 
+    The materialization itself happens at the CODEC level
+    (avro_codec.read_ocf_logical via ``logical=True``): the frame this
+    transform receives already carries ``Decimal`` / ``datetime.date``
+    values, and the projection just renders them — the same typed
+    values the codec's logical WRITE path (encode_value over Decimal /
+    date / datetime) accepts for a full round-trip
+    (tests/test_avro_codec.py)."""
     root = ensure_avro_fixtures(sf_dir)
-    epoch = _dt.date(1970, 1, 1)
 
     def project(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "o_orderkey": pdf["o_orderkey"],
-                "totalprice_dec": [
-                    str(
-                        Decimal(
-                            int.from_bytes(b, "big", signed=True)
-                        ).scaleb(-2)
-                    )
-                    for b in pdf["o_totalprice"]
-                ],
-                "orderdate_day": [
-                    (epoch + _dt.timedelta(days=int(d))).isoformat()
-                    for d in pdf["o_orderdate"]
-                ],
+                "totalprice_dec": [str(d) for d in pdf["o_totalprice"]],
+                "orderdate_day": [d.isoformat() for d in pdf["o_orderdate"]],
             }
         )
 
@@ -582,6 +581,7 @@ def avro_scan_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey long, totalprice_dec string, orderdate_day string",
         n_tasks=N_FILES,
         transform=project,
+        logical=True,
     )
 
 

@@ -508,3 +508,172 @@ def test_decimal_bytes_negative_roundtrip():
         assert int.from_bytes(
             (b"\xff" if unscaled < 0 else b"\x00") + b, "big", signed=True
         ) == unscaled
+
+
+# ---------------------------------------------------------------------------
+# logical types: value-level write path + materializing read
+# ---------------------------------------------------------------------------
+
+LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "typed_row",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {
+            "name": "amount",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 18,
+                "scale": 2,
+            },
+        },
+        {
+            "name": "amount_fixed",
+            "type": {
+                "type": "fixed",
+                "name": "dec8",
+                "size": 8,
+                "logicalType": "decimal",
+                "precision": 18,
+                "scale": 4,
+            },
+        },
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "at_us",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {
+            "name": "maybe_amount",
+            "type": [
+                "null",
+                {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            ],
+        },
+    ],
+}
+
+
+def _logical_rows():
+    import datetime as dt
+    from decimal import Decimal
+
+    utc = dt.timezone.utc
+    return [
+        {
+            "k": 1,
+            "amount": Decimal("10.50"),
+            "amount_fixed": Decimal("-3.1415"),
+            "day": dt.date(2024, 2, 29),
+            "at_us": dt.datetime(2024, 2, 29, 12, 34, 56, 789123, tzinfo=utc),
+            "maybe_amount": Decimal("-0.01"),
+        },
+        {
+            "k": 2,
+            "amount": Decimal("-12345678901234.99"),
+            "amount_fixed": Decimal("0.0001"),
+            "day": dt.date(1969, 12, 31),
+            "at_us": dt.datetime(1969, 12, 31, 23, 59, 59, 999999, tzinfo=utc),
+            "maybe_amount": None,
+        },
+        {
+            "k": 3,
+            "amount": Decimal("0.00"),
+            "amount_fixed": Decimal("0.0000"),
+            "day": dt.date(1970, 1, 1),
+            "at_us": dt.datetime(1970, 1, 1, tzinfo=utc),
+            "maybe_amount": Decimal("128.00"),  # unscaled 12800 needs 2 bytes
+        },
+    ]
+
+
+def test_logical_write_read_roundtrip():
+    """Decimal/date/timestamp-micros Python values encode per the spec
+    and materialize back EQUAL — value fidelity, scale preserved (10.50
+    stays '10.50', not '10.5'), pre-epoch values exact."""
+    from s3_avro_repair_spark.avro_codec import read_ocf_logical
+
+    rows = _logical_rows()
+    data = write_ocf_bytes(LOGICAL_SCHEMA, rows, codec="deflate")
+    schema, back = read_ocf_logical(data)
+    assert schema == LOGICAL_SCHEMA  # annotation survives the header
+    assert back == rows
+    assert str(back[0]["amount"]) == "10.50"
+    assert str(back[1]["amount_fixed"]) == "0.0001"
+
+
+def test_logical_rewrite_is_byte_identical():
+    """The avro_rewrite contract at codec level: raw read -> re-encode
+    preserves bytes exactly, AND materialized read -> re-encode of the
+    logical values produces the identical file — the logicalType
+    annotation and every value rendition survive a rewrite pass."""
+    from s3_avro_repair_spark.avro_codec import read_ocf_logical
+
+    rows = _logical_rows()
+    data = write_ocf_bytes(LOGICAL_SCHEMA, rows, codec="null")
+    # raw pass-through rewrite
+    schema, raw = read_ocf(data)
+    assert write_ocf_bytes(schema, raw, codec="null") == data
+    # materialized rewrite (Decimal/date/datetime values re-encoded)
+    schema, typed = read_ocf_logical(data)
+    assert write_ocf_bytes(schema, typed, codec="null") == data
+
+
+def test_logical_encode_rejects_lossy_values():
+    from decimal import Decimal
+
+    out = bytearray()
+    with pytest.raises(ValueError, match="scale"):
+        write_ocf_bytes(
+            LOGICAL_SCHEMA,
+            [dict(_logical_rows()[0], amount=Decimal("1.005"))],
+        )
+    big = Decimal("12345678901234567.1234")  # overflows fixed(8) at scale 4
+    with pytest.raises(ValueError, match="overflows fixed"):
+        write_ocf_bytes(
+            LOGICAL_SCHEMA,
+            [dict(_logical_rows()[0], amount_fixed=big)],
+        )
+    import datetime as dt
+
+    ts_ms_schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {
+                "name": "t",
+                "type": {"type": "long", "logicalType": "timestamp-millis"},
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="sub-millisecond"):
+        write_ocf_bytes(
+            ts_ms_schema,
+            [{"t": dt.datetime(2024, 1, 1, 0, 0, 0, 1, tzinfo=dt.timezone.utc)}],
+        )
+    del out
+
+
+def test_logical_corruption_still_detected():
+    """Corruption injection over a logical-typed file: the strict
+    logical read rejects a truncated decimal payload exactly like the
+    raw read does (materialization never masks an injury)."""
+    from s3_avro_repair_spark.avro_codec import read_ocf_logical
+
+    rows = [
+        dict(r, k=100 + i)
+        for i, r in enumerate(_logical_rows() * 40)
+    ]
+    data = write_ocf_bytes(LOGICAL_SCHEMA, rows, codec="null", block_records=10)
+    hurt = inject_flip(data)
+    with pytest.raises(CorruptBlock):
+        read_ocf_logical(hurt)
+    res = salvage_ocf(hurt)
+    assert res.n_blocks_bad == 1
+    assert len(res.records) == len(rows) - 10
