@@ -303,20 +303,43 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: write the table as 8 range-partitioned files (the "before"
     state, sorted by doc_id so compacted files keep min/max pruning),
-    read them back, coalesce to the target file count, rewrite, and
-    prove content preservation by hashing the post-compaction
-    aggregate against the original table. File counts are part of the
-    hashed output — the oracle can predict them because both the
-    shred and the target are deterministic. At 100 TB the target count
-    is ceil(partition_bytes / 128MB) per partition and compaction runs
-    partition-by-partition, never whole-table."""
+    size the target from FILE METADATA — ceil(total_bytes / 128MB),
+    the scan-efficient file size, listed via fsio so the same code
+    plans against S3 — then read back, coalesce to that target, and
+    rewrite. The before-count comes from the SAME metadata listing —
+    no mid-plan driver ``count()`` job; the op runs no distributed
+    action besides the two writes. Content preservation is proven by
+    hashing the post-compaction aggregate against the original table;
+    file counts are part of the hashed output, predictable because the
+    shred and the byte-derived target are both deterministic. At 100 TB
+    the identical logic runs partition-by-partition (metadata listing
+    per partition, never whole-table), and the 128MB divisor makes the
+    target honest at ANY size — the fixture lands on 1 file because it
+    IS under 128MB, not because 1 is hardcoded."""
+    import math
+
+    from pyarrow import fs as pafs
+
+    from .. import fsio
+
     small = scratch_dir("compact_small")
     compacted = scratch_dir("compact_out")
     d = table(spark, sf_dir, "documents")
     d.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(small)
+
+    fs_, small_path = fsio.resolve(small)
+    data_files = [
+        info
+        for info in fs_.get_file_info(pafs.FileSelector(small_path))
+        if info.type == pafs.FileType.File
+        and info.base_name.endswith(".parquet")
+    ]
+    total_bytes = sum(info.size for info in data_files)
+    n_before = len(data_files)
+    target = max(1, math.ceil(total_bytes / (128 << 20)))
+
     back = spark.read.parquet(small)
-    n_before = back.select(F.input_file_name()).distinct().count()
-    back.coalesce(1).write.mode("overwrite").parquet(compacted)
+    back.coalesce(target).write.mode("overwrite").parquet(compacted)
     cb = spark.read.parquet(compacted).select(
         F.input_file_name().alias("f"), "n_chars"
     )

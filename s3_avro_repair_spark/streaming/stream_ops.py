@@ -420,13 +420,12 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once even though foreachBatch itself is at-least-once.
     The read-back aggregate over all landed batches must equal the
     batch SQL over the full fixture: every event exactly once."""
-    import tempfile
-
     from ..exprs import dsum
+    from ..sources.avro_pipeline import scratch_dir
 
     root = ensure_stream_dirs(sf_dir)
-    out = tempfile.mkdtemp(prefix="fb_sink_")
-    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    out = scratch_dir("fb_sink")
+    ckpt = scratch_dir("fb_ckpt")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(
