@@ -59,6 +59,15 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Bisect knob: SPARK_GRAFT_BENCH_ONLY="join_asof,agg_distinct" times
+    # just those queries (isolated from the rest of the suite's cache /
+    # JVM churn) — for chasing round-over-round per-query moves.
+    only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
+    headline = [n for n in HEADLINE if not only or n in only]
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -92,7 +101,7 @@ def main() -> int:
     # Two runs per query, report the min: steady-state throughput, not
     # first-run JIT/codegen compilation.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         op = ops.get(name)
         if op is None:
             continue
@@ -109,6 +118,7 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    guard_report(timings, sf)
     print(
         json.dumps(
             {
@@ -121,6 +131,66 @@ def main() -> int:
         )
     )
     return 0
+
+
+# Round-over-round regression guard: common-query total <= 1.25x the
+# prior recorded round, no single query > 1.5x. Breaches go to stderr
+# (the driver's stdout contract stays one JSON line); the same bounds
+# are asserted over the RECORDED rounds in tests/test_bench_guard.py.
+GUARD_TOTAL_RATIO = 1.25
+GUARD_QUERY_RATIO = 1.5
+
+
+def prior_round_queries(repo_dir: str) -> tuple[str, dict[str, float]] | None:
+    import glob
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        if best is None or int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            rec = json.load(f)
+        queries = (rec.get("parsed") or rec).get("queries")
+    except (OSError, ValueError, AttributeError):
+        return None
+    if not isinstance(queries, dict):
+        return None
+    return os.path.basename(best[1]), queries
+
+
+def guard_report(timings: dict[str, float], sf: float) -> None:
+    prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
+    if prior is None:
+        return
+    name, prev = prior
+    common = [k for k in timings if k in prev and prev[k] > 0]
+    if not common:
+        return
+    cur_total = sum(timings[k] for k in common)
+    prev_total = sum(prev[k] for k in common)
+    ratio = cur_total / prev_total
+    lines = [
+        f"bench guard vs {name} (sf={sf}): common {len(common)} queries, "
+        f"total {cur_total:.2f}s vs {prev_total:.2f}s ({ratio:.2f}x, "
+        f"bound {GUARD_TOTAL_RATIO}x)"
+    ]
+    if ratio > GUARD_TOTAL_RATIO:
+        lines.append("bench guard BREACH: common-query total over bound")
+    for k in sorted(common):
+        r = timings[k] / prev[k]
+        if r > GUARD_QUERY_RATIO:
+            lines.append(
+                f"bench guard BREACH: {k} {prev[k]:.3f}s -> {timings[k]:.3f}s "
+                f"({r:.2f}x, bound {GUARD_QUERY_RATIO}x)"
+            )
+    print("\n".join(lines), file=sys.stderr)
 
 
 if __name__ == "__main__":

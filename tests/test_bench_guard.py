@@ -1,0 +1,60 @@
+"""Round-over-round bench regression guard over the RECORDED driver
+rounds: the common-query total may not grow past 1.25x the previous
+round, and no single query past 1.5x. bench.py applies the same bounds
+live (stderr report) against the newest BENCH_r*.json."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import pytest
+
+import bench
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rounds() -> list[tuple[int, dict[str, float]]]:
+    out = []
+    for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            rec = json.load(f)
+        queries = (rec.get("parsed") or rec).get("queries")
+        if isinstance(queries, dict) and queries:
+            out.append((int(m.group(1)), queries))
+    return sorted(out)
+
+
+def test_recorded_rounds_within_guard():
+    rounds = _rounds()
+    if len(rounds) < 2:
+        pytest.skip("fewer than two recorded rounds")
+    for (n_prev, prev), (n_cur, cur) in zip(rounds, rounds[1:]):
+        common = [k for k in cur if k in prev and prev[k] > 0]
+        assert common, f"r{n_prev}->r{n_cur}: no common queries"
+        total_ratio = sum(cur[k] for k in common) / sum(prev[k] for k in common)
+        assert total_ratio <= bench.GUARD_TOTAL_RATIO, (
+            f"r{n_prev}->r{n_cur}: common-query total {total_ratio:.2f}x"
+        )
+        for k in common:
+            assert cur[k] / prev[k] <= bench.GUARD_QUERY_RATIO, (
+                f"r{n_prev}->r{n_cur}: {k} {prev[k]} -> {cur[k]} "
+                f"({cur[k] / prev[k]:.2f}x)"
+            )
+
+
+def test_prior_round_reader_matches_newest_record():
+    rounds = _rounds()
+    if not rounds:
+        pytest.skip("no recorded rounds")
+    got = bench.prior_round_queries(_REPO)
+    assert got is not None
+    name, queries = got
+    assert name == f"BENCH_r{rounds[-1][0]:02d}.json"
+    assert queries == rounds[-1][1]
