@@ -4,11 +4,14 @@ a local replica of the driver's correctness gate."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from s3_avro_repair_spark.plans.registry import load_all
 from tools.verify_local import compare
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _OPS = load_all()
 
 
@@ -138,8 +141,28 @@ R4_WINDOW = {
 
 
 def test_r4_attestation_window():
+    """Must run in a FRESH process: registration order is import order,
+    and sibling test modules import op modules directly, which shifts
+    the in-process registry. The driver imports __spark_entry__ into a
+    clean interpreter — reproduce exactly that."""
+    import json
+    import subprocess
+    import sys
+
     assert len(R4_WINDOW) == 50
-    first50 = list(_OPS)[:50]
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import json, __spark_entry__ as e;"
+            "print(json.dumps(list(e.queries())[:50]))",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=_REPO_ROOT,
+        check=True,
+    )
+    first50 = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(first50) == R4_WINDOW, (
         f"window drift: extra={set(first50) - R4_WINDOW}, "
         f"missing={R4_WINDOW - set(first50)}"
