@@ -15,7 +15,7 @@ similarity search. (Multimodal plumbing lives in multimodal.py.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -150,36 +150,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the identical df<=16 cap, so the contract is exact.
 
     Scale: stage-1 shuffles rare shingles only (bounded fanout);
-    stage-2 cost is sum over candidate pairs of |shingles(a)| — linear
-    in candidates, never all-pairs. tests/test_llm_ops.py proves the
-    bound on a corpus where every doc shares one boilerplate shingle:
-    candidate count stays 0 from that shingle while true near-dups
-    (sharing rare shingles) still surface."""
+    stage-2 cost is linear in candidate pairs, never all-pairs.
+    tests/test_llm_ops.py proves the bound on a corpus where every doc
+    shares one boilerplate shingle: candidate count stays 0 from that
+    shingle while true near-dups (sharing rare shingles) still surface.
+
+    Plan shape (audited, not just passed): the corpus is tokenized and
+    shingled ONCE into per-doc ARRAYS; stage 1 explodes that relation
+    a single time and takes per-block document frequency as a WINDOW
+    count over (lang, source, shingle) — no df self-join, and the
+    candidate self-join that follows re-shuffles on the same keys, so
+    the exchange is built once and reused. Stage 2 never explodes:
+    candidate pairs join back to the ARRAY relation and intersection
+    is size(array_intersect(...)), with set sizes carried on the same
+    rows — no separate sizes aggregate, no second pass over text. The
+    naive formulation (shared CTE referenced by sizes/dfreq/both join
+    sides) re-scans and re-shingles the corpus 8x; at 100 TB that is
+    the whole job's cost."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    sh = (
+    sh_arr = (
         d.withColumn("tokens", F.split("text", " "))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                "array_distinct(zip_with(zip_with("
+                " slice(tokens, 1, greatest(size(tokens)-2, 0)),"
+                " slice(tokens, 2, greatest(size(tokens)-2, 0)),"
+                " (x, y) -> concat_ws(' ', x, y)),"
+                " slice(tokens, 3, greatest(size(tokens)-2, 0)),"
+                " (x, y) -> concat_ws(' ', x, y)))"
+            ).alias("shingles"),
+        )
+        .withColumn("n", F.size("shingles"))
+    )
+    rare = (
+        sh_arr.select(
+            "doc_id", "lang", "source", F.explode("shingles").alias("shingle")
+        )
         .withColumn(
-            "shingle",
-            F.explode(
-                F.expr(
-                    "array_distinct(zip_with(zip_with("
-                    " slice(tokens, 1, greatest(size(tokens)-2, 0)),"
-                    " slice(tokens, 2, greatest(size(tokens)-2, 0)),"
-                    " (x, y) -> concat_ws(' ', x, y)),"
-                    " slice(tokens, 3, greatest(size(tokens)-2, 0)),"
-                    " (x, y) -> concat_ws(' ', x, y)))"
-                )
+            "df",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("lang", "source", "shingle")
             ),
         )
-        .select("doc_id", "lang", "source", "shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = sh.groupBy("lang", "source", "shingle").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    rare = sh.join(
-        dfreq.filter(F.col("df") <= 16).drop("df"),
-        ["lang", "source", "shingle"],
+        .filter(F.col("df") <= 16)
     )
     a, b = rare.alias("a"), rare.alias("b")
     cand = (
@@ -193,25 +209,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    fa, fb = sh.alias("fa"), sh.alias("fb")
-    inter = (
-        cand.join(fa, F.col("id_a") == F.col("fa.doc_id"))
-        .join(
-            fb,
-            (F.col("id_b") == F.col("fb.doc_id"))
-            & (F.col("fa.shingle") == F.col("fb.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("both"))
+    fa = sh_arr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    fb = sh_arr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("both", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
     jac = F.col("both").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("both")
+        F.col("na") + F.col("nb") - F.col("both")
     )
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.12)
+        scored.filter(jac >= 0.12)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
