@@ -439,3 +439,33 @@ def test_partitioned_parquet_scan_prunes(spark, sf_dir):
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "year" in pf, f"year not in partition filters: {pf}"
     assert "1996" in pf, pf
+
+
+def test_dedup_candidate_generators_plan_shape(spark, sf_dir):
+    """The r4 de-skew rework of the two exact near-dup ops must keep
+    its plan economy: dedup_ngram_jaccard shingles the corpus ONCE
+    into arrays (<= 4 scans: rare self-join sides + fa/fb array sides;
+    <= 2 explodes: the rare self-join) — the shared-CTE formulation
+    re-scanned and re-shingled 8x. dedup_levenshtein is one self-join
+    over a projected relation (<= 2 scans, 0 explodes)."""
+    plan = (
+        _OPS["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") <= 4, plan
+    assert plan.count("Generate explode") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+    plan = (
+        _OPS["dedup_levenshtein"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") <= 2, plan
+    assert plan.count("Generate explode") == 0, plan
+    assert "CartesianProduct" not in plan
