@@ -118,7 +118,13 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    guard_report(timings, sf)
+    if only:
+        # Isolated subsets skip the prior suite's cache warm-up, so
+        # comparing them against recorded in-suite numbers produces
+        # false breaches (see SCALING.md, round-4 bisect).
+        print("bench guard skipped: subset run", file=sys.stderr)
+    else:
+        guard_report(timings, sf)
     print(
         json.dumps(
             {
