@@ -384,38 +384,57 @@ def text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal for promoting word pairs to vocabulary phrases before
     tokenizer training. Bigrams seen < 5 times are noise-floored out.
 
-    Three aggregations — unigram counts, bigram counts (built per-row
-    by the indexed-lambda transform, no self-join), corpus totals —
-    then the unigram table joins back TWICE (once per bigram side).
-    The vocabulary is orders of magnitude smaller than the corpus, so
-    both count joins broadcast and the totals are scalar broadcasts;
-    the only data-sized shuffles are the two count groupBys. The PMI
-    argument is a ratio of exact integer counts, so ln() sees the
-    same double on both engines and 6 dp rounding is stable."""
+    Plan economy (r4): the corpus is tokenized and exploded ONCE into
+    a (w1, next-token) relation — every token appears exactly once as
+    w1 (the last token of a doc carries a NULL successor), so the SAME
+    relation yields unigram counts (groupBy w1) and bigram counts
+    (filter NULL out, groupBy pair). Corpus totals ride the two count
+    tables as sum-over-() windows: a single-task pass over VOCAB-sized
+    rows, replacing the two scalar-subquery aggregates that each
+    re-tokenized the whole corpus. The unigram table then joins back
+    TWICE (once per bigram side) as broadcasts. Physical result: 3
+    corpus scans/explodes (bigram side + one per broadcast side) down
+    from 5; at 100 TB the corpus passes are the entire cost and the
+    vocab-sized window is noise. The PMI argument is a ratio of exact
+    integer counts, so ln() sees the same double on both engines and
+    6 dp rounding is stable."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
-    tk = d.select(F.split("text", " ").alias("tk"))
-    bigrams = F.expr(
-        "zip_with(slice(tk, 1, size(tk)-1), slice(tk, 2, size(tk)-1),"
-        " (x, y) -> struct(x AS w1, y AS w2))"
+    pairs = (
+        d.select(F.split("text", " ").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(tk,"
+                    " concat(slice(tk, 2, greatest(size(tk)-1, 0)),"
+                    "        array(CAST(NULL AS STRING))),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    everything = Window.partitionBy()
+    uni = (
+        pairs.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n_uni", F.sum("c").over(everything).cast("double"))
     )
     big = (
-        tk.select(F.explode(bigrams).alias("bg"))
-        .select("bg.w1", "bg.w2")
+        pairs.filter(F.col("w2").isNotNull())
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("n_big", F.sum("c").over(everything).cast("double"))
     )
-    nb = big.agg(F.sum("c").cast("double").alias("n_big"))
-    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    u1 = uni.select(
+        F.col("w1"), F.col("c").alias("c1"), F.col("n_uni")
+    )
+    u2 = uni.select(
+        F.col("w1").alias("w2"), F.col("c").alias("c2")
+    )
     return (
         big.filter(F.col("c") >= 5)
         .join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
-        .join(F.broadcast(nb))
-        .join(F.broadcast(nu))
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
             F.col("c").cast("bigint").alias("n"),
