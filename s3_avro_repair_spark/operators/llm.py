@@ -329,15 +329,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tf-idf weights: two aggregations (term frequency per doc,
-    document frequency per term) joined back — df and N are tiny
-    (vocabulary-sized / scalar) so both joins broadcast; the only big
-    shuffle is the tf groupBy. Terms present in every document carry
-    idf=0 and are dropped on both sides."""
+    """tf-idf weights: term frequency per doc, document frequency per
+    term, joined back — df and N are tiny (vocabulary-sized / scalar)
+    so both joins broadcast; the only big shuffle is the tf groupBy.
+    Terms present in every document carry idf=0 and are dropped on
+    both sides.
+
+    df is derived from tf (whose rows ARE the distinct (doc, term)
+    pairs: df = tf.groupBy(w).count) rather than a countDistinct over
+    a second tokenize — same physical cost today (Catalyst prunes the
+    df branch's partial aggregate down to the distinct keys, so the
+    two exchanges stay distinct and both branches scan the corpus),
+    but the honest formulation: one logical tokenize, and a cache or
+    checkpoint of tf at 100 TB collapses it to one physical pass. The
+    hot-token skew answer is map-side combine in both aggregates —
+    never a window over partitionBy(w), which would buffer every
+    occurrence of 'the' in one task."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     return (
         tf.join(F.broadcast(df), "w")
