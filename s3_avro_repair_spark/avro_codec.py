@@ -842,8 +842,13 @@ def decode_resolved(writer, reader, buf: bytes, pos: int):
     raise SchemaResolutionError(f"cannot read writer {wt} as reader {rt}")
 
 
-def read_ocf_resolved(data: bytes, reader_schema) -> list:
-    """Strict full read applying a reader schema (schema evolution)."""
+def read_ocf_resolved(data: bytes, reader_schema, logical: bool = False) -> list:
+    """Strict full read applying a reader schema (schema evolution).
+    ``logical=True`` additionally materializes the READER schema's
+    logicalType annotations on the resolved values — evolution and
+    logical types compose (e.g. a reader that adds a decimal column
+    default, or re-reads a raw-bytes writer column under a decimal
+    annotation)."""
     writer, codec, sync, pos = read_header(data)
     records = []
     n = len(data)
@@ -862,6 +867,8 @@ def read_ocf_resolved(data: bytes, reader_schema) -> list:
         if bpos != len(payload):
             raise CorruptBlock("trailing bytes in block")
         pos = p + size + SYNC_SIZE
+    if logical:
+        return [materialize_logical(reader_schema, r) for r in records]
     return records
 
 

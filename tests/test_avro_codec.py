@@ -677,3 +677,36 @@ def test_logical_corruption_still_detected():
     res = salvage_ocf(hurt)
     assert res.n_blocks_bad == 1
     assert len(res.records) == len(rows) - 10
+
+
+def test_logical_composes_with_schema_resolution():
+    """A reader schema that skips a writer column and adds a defaulted
+    field still materializes the surviving logical columns: evolution
+    first (spec §Schema Resolution), then logicalType, in one read."""
+    from s3_avro_repair_spark.avro_codec import read_ocf_resolved
+
+    rows = _logical_rows()
+    data = write_ocf_bytes(LOGICAL_SCHEMA, rows, codec="deflate")
+    reader = {
+        "type": "record",
+        "name": "typed_row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "amount",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 18,
+                    "scale": 2,
+                },
+            },
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "grade", "type": "string", "default": "unrated"},
+        ],
+    }
+    back = read_ocf_resolved(data, reader, logical=True)
+    assert [r["amount"] for r in back] == [r["amount"] for r in rows]
+    assert [r["day"] for r in back] == [r["day"] for r in rows]
+    assert all(r["grade"] == "unrated" for r in back)
+    assert all("at_us" not in r for r in back)
