@@ -50,9 +50,13 @@ _REGISTRY: dict[str, Op] = {}
 #   r4 window (this order): Q composite (24) + T stream_ops (11) + U udfs (7)
 #                   + P subqueries (5) + C graph (3) = exactly the 50
 #                   never-attested Q/T/U/P/C keys. Cumulative after r4: 159/227.
-#   r5 candidates: text_quality (10) + extras (9) + lifecycle (9) + scans'
-#                   5 unattested + aggregations' 9 + windows' 9 tail → reorder
-#                   to front-load 50 of the remaining 68.
+#   r5+: AUTOMATIC — load_all() reads the committed CORRECTNESS_r*.json
+#                   files and orders never-attested keys first, so each
+#                   round's window is the next 50 unattested keys with no
+#                   manual module rotation (module rotation could not
+#                   subdivide mixed-attestation modules anyway: after r4
+#                   the 68 remaining keys spread across 9 modules, 6 of
+#                   them partially attested).
 _OP_MODULES = [
     "s3_avro_repair_spark.operators.composite",     # Q (composite queries)
     "s3_avro_repair_spark.streaming.stream_ops",    # T
@@ -121,5 +125,35 @@ def load_all() -> dict[str, Op]:
         for name, op in list(_REGISTRY.items()):
             if callable(op.oracle):
                 _REGISTRY[name] = dataclasses.replace(op, oracle=op.oracle())
+        attested = _attested_keys()
+        position = {k: i for i, k in enumerate(_REGISTRY)}
+        ordered = sorted(_REGISTRY, key=lambda n: (n in attested, position[n]))
+        reordered = {n: _REGISTRY[n] for n in ordered}
+        _REGISTRY.clear()
+        _REGISTRY.update(reordered)
         _loaded = True
     return dict(_REGISTRY)
+
+
+def _attested_keys() -> frozenset[str]:
+    """Union of op keys across the committed CORRECTNESS_r*.json driver
+    records. load_all() floats keys NOT in this set to the front so the
+    driver's first-50 attestation window always lands on never-checked
+    ops — the rotation maintains itself as each round's record lands."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    keys: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            keys.update(k for k in rec if isinstance(k, str))
+    return frozenset(keys)
