@@ -469,3 +469,21 @@ def test_dedup_candidate_generators_plan_shape(spark, sf_dir):
     assert plan.count("FileScan") <= 2, plan
     assert plan.count("Generate explode") == 0, plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
+    """join_salted's point is physical: the join condition must be
+    (key, salt) — so when the dim side is too big to broadcast and the
+    join shuffles, a hot key spreads over 8 reducers. At fixture scale
+    Catalyst rightly broadcasts the replicated dim (no shuffle to
+    salt), so the invariant to pin is the salted key pair in the join
+    itself; the oracle pins result-identity with the unsalted join."""
+    df = _OPS["join_salted"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    import re
+
+    m = re.search(r"HashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m, f"no hash join in plan:\n{plan}"
+    left, right = m.group(1), m.group(2)
+    assert "o_custkey" in left and "salt" in left, left
+    assert "c_custkey" in right and "salt" in right, right
