@@ -167,3 +167,25 @@ def test_r4_attestation_window():
         f"window drift: extra={set(first50) - R4_WINDOW}, "
         f"missing={R4_WINDOW - set(first50)}"
     )
+
+
+def test_attested_keys_reader_matches_records():
+    """The self-maintaining window ordering stands on _attested_keys():
+    it must return exactly the union of op keys across the committed
+    CORRECTNESS_r*.json records, and every registry key outside that
+    union must sort before every key inside it (stable otherwise)."""
+    import glob
+    import json
+
+    from s3_avro_repair_spark.plans.registry import _attested_keys
+
+    expect: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            expect.update(json.load(f).keys())
+    att = _attested_keys()
+    assert att == expect
+    names = list(_OPS)
+    split = sum(1 for n in names if n not in att)
+    assert all(n not in att for n in names[:split])
+    assert all(n in att for n in names[split:])
