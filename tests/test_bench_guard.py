@@ -43,10 +43,28 @@ def test_recorded_rounds_within_guard():
             f"r{n_prev}->r{n_cur}: common-query total {total_ratio:.2f}x"
         )
         for k in common:
-            assert cur[k] / prev[k] <= bench.GUARD_QUERY_RATIO, (
+            # Same two-part bound as bench.guard_report: a breach needs
+            # the ratio AND an absolute move past the jitter floor.
+            assert (
+                cur[k] / prev[k] <= bench.GUARD_QUERY_RATIO
+                or cur[k] - prev[k] < bench.GUARD_MIN_DELTA_SEC
+            ), (
                 f"r{n_prev}->r{n_cur}: {k} {prev[k]} -> {cur[k]} "
-                f"({cur[k] / prev[k]:.2f}x)"
+                f"({cur[k] / prev[k]:.2f}x, +{cur[k] - prev[k]:.2f}s)"
             )
+
+
+def test_would_breach_requires_ratio_and_absolute_move():
+    prev = {"q": 0.2, "big": 2.0}
+    # 1.6x but only +0.12s: sub-second jitter, not a breach.
+    assert not bench._would_breach("q", 0.32, prev)
+    # 1.3x and +0.6s: ratio under bound, not a breach.
+    assert not bench._would_breach("big", 2.6, prev)
+    # 1.6x and +1.2s: both bounds crossed.
+    assert bench._would_breach("big", 3.2, prev)
+    # Unknown / zero prior: never a breach.
+    assert not bench._would_breach("new", 9.9, prev)
+    assert not bench._would_breach("z", 9.9, {"z": 0.0})
 
 
 def test_prior_round_reader_matches_newest_record():
