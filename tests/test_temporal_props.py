@@ -1,0 +1,148 @@
+"""Property tests for the gaps-and-islands temporal operators.
+
+merge_intervals and window_sessionize both hinge on exact threshold
+semantics (a session break is gap > 30min; intervals that merely TOUCH
+still merge) and on the event_id tiebreak for duplicate timestamps.
+The fixture corpus rarely produces events exactly 1800.000000s or
+1800.000001s apart, so these generate adversarial per-user streams —
+boundary gaps at microsecond precision, duplicated timestamps,
+singleton users — and compare against direct Python sweep references.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+GAP_US = 1_800_000_000  # 30 minutes in microseconds
+BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z epoch micros
+
+# Gaps clustered on the threshold: exactly 30min (same session /
+# touching interval), one microsecond past it (break / new island),
+# one short of it, plus zero (duplicate ts) and ordinary values.
+_GAPS = st.sampled_from(
+    [0, 1, 1_000_000, GAP_US - 1, GAP_US, GAP_US + 1, 2 * GAP_US]
+)
+
+
+@st.composite
+def _event_streams(draw):
+    users = draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    eid = 0
+    for u in range(users):
+        n = draw(st.integers(min_value=1, max_value=8))
+        t = BASE_US + u  # stagger users so streams never align
+        for i in range(n):
+            if i:
+                t += draw(_GAPS)
+            rows.append({"event_id": eid, "ts_us": t, "user_id": u})
+            eid += 1
+    # Duplicate-timestamp rows get event_ids in generation order, which
+    # is the tiebreak order both engines use.
+    return rows
+
+
+def _write_events(tmp, rows):
+    df = pd.DataFrame(
+        {
+            "event_id": [r["event_id"] for r in rows],
+            "ts": pd.to_datetime([r["ts_us"] for r in rows], unit="us"),
+            "user_id": [r["user_id"] for r in rows],
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    df.to_parquet(str(tmp / "events.parquet"))
+    return str(tmp)
+
+
+def _ref_sessionize(rows):
+    """session_seq per event: running count of breaks (gap > 30min),
+    first event of a user always opens session 1."""
+    out = {}
+    by_user: dict[int, list[dict]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for stream in by_user.values():
+        stream.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        seq = 0
+        prev = None
+        for r in stream:
+            if prev is None or r["ts_us"] - prev > GAP_US:
+                seq += 1
+            out[r["event_id"]] = seq
+            prev = r["ts_us"]
+    return out
+
+
+def _ref_merge_intervals(rows):
+    """Maximal merged [ts, ts+30min) coverage windows per user. Mirrors
+    the op's numbering: the first island of a user is 0 (the running
+    sum of new-island flags, and the first row's flag is 0 because the
+    empty preceding window yields NULL max)."""
+    islands = []
+    by_user: dict[int, list[dict]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, stream in sorted(by_user.items()):
+        stream.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        island = -1
+        cur_end = None
+        for r in stream:
+            s, e = r["ts_us"], r["ts_us"] + GAP_US
+            if cur_end is None or s <= cur_end:
+                if cur_end is None:
+                    island += 1
+                    islands.append([u, island, s, e, 1])
+                else:
+                    islands[-1][3] = max(islands[-1][3], e)
+                    islands[-1][4] += 1
+            else:
+                island += 1
+                islands.append([u, island, s, e, 1])
+            cur_end = max(cur_end, e) if cur_end is not None else e
+    return {
+        (u, i): (s, e, n) for u, i, s, e, n in islands
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_event_streams())
+def test_sessionize_matches_sweep_reference(rows, tmp_path_factory):
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    spark = get_session("pytest", master="local[8]", shuffle_partitions=8)
+    sf_dir = _write_events(tmp_path_factory.mktemp("sessprop"), rows)
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in load_all()["window_sessionize"].fn(spark, sf_dir).collect()
+    }
+    assert got == _ref_sessionize(rows)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_event_streams())
+def test_merge_intervals_matches_sweep_reference(rows, tmp_path_factory):
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    spark = get_session("pytest", master="local[8]", shuffle_partitions=8)
+    sf_dir = _write_events(tmp_path_factory.mktemp("mergeprop"), rows)
+    got = {
+        (r["user_id"], r["island"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in load_all()["merge_intervals"].fn(spark, sf_dir).collect()
+    }
+    expect = _ref_merge_intervals(rows)
+    assert got == expect
+    # Structural invariants independent of the reference: islands are
+    # disjoint and separated by REAL gaps (end < next start), and
+    # event counts sum to the input.
+    for u in {r["user_id"] for r in rows}:
+        ivs = sorted(v for (uu, _), v in got.items() if uu == u)
+        for (s1, e1, _), (s2, _, _) in zip(ivs, ivs[1:]):
+            assert e1 < s2, (u, ivs)
+    assert sum(n for _, _, n in got.values()) == len(rows)
