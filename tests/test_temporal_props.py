@@ -50,7 +50,7 @@ def _write_events(tmp, rows):
             "event_id": [r["event_id"] for r in rows],
             "ts": pd.to_datetime([r["ts_us"] for r in rows], unit="us"),
             "user_id": [r["user_id"] for r in rows],
-            "event_type": "click",
+            "event_type": [r.get("event_type", "click") for r in rows],
             "value": 1.0,
             "props": "{}",
         }
@@ -146,3 +146,155 @@ def test_merge_intervals_matches_sweep_reference(rows, tmp_path_factory):
         for (s1, e1, _), (s2, _, _) in zip(ivs, ivs[1:]):
             assert e1 < s2, (u, ivs)
     assert sum(n for _, _, n in got.values()) == len(rows)
+
+
+@st.composite
+def _funnel_streams(draw):
+    """Per-user event sequences over a tiny time range so stage events
+    frequently COLLIDE on identical timestamps — the edge that matters:
+    a click at exactly the first view's timestamp must NOT count
+    (strictly-after semantics)."""
+    users = draw(st.integers(min_value=1, max_value=4))
+    rows = []
+    eid = 0
+    for u in range(users):
+        n = draw(st.integers(min_value=1, max_value=7))
+        for _ in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    # 4 slots only -> heavy same-ts collisions
+                    "ts_us": BASE_US + draw(st.integers(0, 3)) * 1_000_000,
+                    "user_id": u,
+                    "event_type": draw(
+                        st.sampled_from(["view", "click", "purchase"])
+                    ),
+                }
+            )
+            eid += 1
+    return rows
+
+
+def _ref_funnel(rows):
+    """view -> click -> purchase, each stage strictly after the user's
+    FIRST qualifying previous-stage event."""
+    counts = {"view": 0, "view>click": 0, "view>click>purchase": 0}
+    by_user: dict[int, list[dict]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for stream in by_user.values():
+        t1 = min(
+            (r["ts_us"] for r in stream if r["event_type"] == "view"),
+            default=None,
+        )
+        if t1 is None:
+            continue
+        counts["view"] += 1
+        t2 = min(
+            (
+                r["ts_us"]
+                for r in stream
+                if r["event_type"] == "click" and r["ts_us"] > t1
+            ),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        counts["view>click"] += 1
+        t3 = min(
+            (
+                r["ts_us"]
+                for r in stream
+                if r["event_type"] == "purchase" and r["ts_us"] > t2
+            ),
+            default=None,
+        )
+        if t3 is not None:
+            counts["view>click>purchase"] += 1
+    return counts
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_funnel_streams())
+def test_funnel_strictly_after_semantics(rows, tmp_path_factory):
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    spark = get_session("pytest", master="local[8]", shuffle_partitions=8)
+    sf_dir = _write_events(tmp_path_factory.mktemp("funprop"), rows)
+    got = {
+        r["stage"]: r["n_users"]
+        for r in load_all()["window_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert got == _ref_funnel(rows)
+
+
+@st.composite
+def _daily_activity(draw):
+    """Per-user sets of active day indices, dense enough to form runs
+    and sparse enough to break them; duplicate events within a day
+    check the DISTINCT-days step."""
+    users = draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    eid = 0
+    for u in range(users):
+        days = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=12),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        for d in days:
+            # midday, away from any tz/day boundary
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts_us": BASE_US + d * 86_400_000_000 + 43_200_000_000,
+                    "user_id": u,
+                }
+            )
+            eid += 1
+    return rows
+
+
+def _ref_streaks(rows):
+    """Longest run of consecutive active days per user; ties go to the
+    earliest start. Returns {user_id: (len, 'YYYY-MM-DD')}."""
+    import datetime
+
+    out = {}
+    by_user: dict[int, set[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], set()).add(
+            r["ts_us"] // 86_400_000_000
+        )
+    for u, dayset in by_user.items():
+        days = sorted(dayset)
+        best_len, best_start = 0, None
+        run_len, run_start = 0, None
+        for i, d in enumerate(days):
+            if i == 0 or d != days[i - 1] + 1:
+                run_len, run_start = 1, d
+            else:
+                run_len += 1
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+        start = datetime.date(1970, 1, 1) + datetime.timedelta(days=best_start)
+        out[u] = (best_len, start.isoformat())
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_daily_activity())
+def test_streaks_match_run_reference(rows, tmp_path_factory):
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    spark = get_session("pytest", master="local[8]", shuffle_partitions=8)
+    sf_dir = _write_events(tmp_path_factory.mktemp("streakprop"), rows)
+    got = {
+        r["user_id"]: (r["len"], r["streak_start"])
+        for r in load_all()["window_streaks"].fn(spark, sf_dir).collect()
+    }
+    assert got == _ref_streaks(rows)
