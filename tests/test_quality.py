@@ -171,6 +171,43 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_shuffle_budget_everywhere(spark, sf_dir):
+    """Global scale guard #2: data shuffles (hash/range/single-partition
+    exchanges in the executed plan, broadcasts excluded) are the unit
+    of 100 TB cost, so every op carries a budget. The ceiling is 12 —
+    held only by kmeans_quantized, whose unrolled Lloyd iterations each
+    legitimately re-aggregate — and the known-heavy plans are pinned
+    individually so a regression shows up by name, not as a blown
+    global cap. Everything unpinned must fit in 6.
+
+    Counted on executedPlan (EnsureRequirements has inserted the
+    exchanges; AQE's initial plan — runtime coalescing can only
+    remove work). Fixture-size caveat: broadcast-vs-shuffle choices
+    depend on size estimates, so bounds are <=, never ==."""
+    pinned = {
+        "kmeans_quantized": 12,       # unrolled Lloyd: agg per iteration
+        "window_funnel": 9,           # 3 stage aggs + joins + 3 counts
+        "window_cumulative_distinct": 8,  # two-phase prefix sum
+        "subquery_correlated_agg": 7,     # decorrelated agg + outer join
+    }
+    default_budget = 6
+    offenders = []
+    for name, op in sorted(_OPS.items()):
+        if op.group == "T" or name in _EAGER_OPS:
+            continue
+        plan = (
+            op.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        if n > pinned.get(name, default_budget):
+            offenders.append((name, n))
+    assert not offenders, f"shuffle budget exceeded: {offenders}"
+
+
 def test_q_group_plan_shapes(spark, sf_dir):
     """The Q-group composites must compile to the plans their
     docstrings promise: broadcast hash joins for the dims, TakeOrdered
