@@ -213,6 +213,37 @@ def _write_docs(tmp, rows):
     return str(tmp)
 
 
+def test_dedup_near_recall_on_planted_pairs(spark, tmp_path_factory):
+    """Recall side of the MinHash-LSH check (the fixture test only pins
+    precision): plant 10 near-duplicate pairs at true shingle Jaccard
+    ~0.86 (one substitution in 40 private tokens) among 30 unrelated
+    docs, and require LSH to surface at least 8 of them with no pair
+    crossing vocabulary families. Fixed MinHash seed makes the outcome
+    deterministic — if this fails, signature or bucketing code changed,
+    not luck."""
+    tmp = tmp_path_factory.mktemp("nearrecall")
+    rows = []
+    planted = set()
+    for i in range(10):
+        base = [f"d{i}_{j}" for j in range(40)]
+        near = list(base)
+        near[17] = f"sub{i}"
+        rows.append((200 + 2 * i, " ".join(base)))
+        rows.append((201 + 2 * i, " ".join(near)))
+        planted.add((200 + 2 * i, 201 + 2 * i))
+    for i in range(30):
+        rows.append((500 + i, " ".join(f"u{i}_{j}" for j in range(40))))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_near"].fn(spark, sf).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    found = planted & pairs
+    assert len(found) >= 8, (len(found), sorted(planted - pairs))
+    # No cross-family pairs: every reported pair must be a planted one
+    # (distinct docs share zero shingles by construction).
+    assert pairs <= planted, sorted(pairs - planted)[:10]
+
+
 def test_ngram_jaccard_stop_shingle_is_not_quadratic(spark, tmp_path_factory):
     """The df<=16 candidate cap: 60 docs of one block share an 8-token
     boilerplate sentence (every boilerplate shingle has df=60), which
