@@ -171,6 +171,27 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+def test_scan_sample_is_faithful_and_calibrated(spark, sf_dir, duck):
+    """scan_sample is rows-only (engine RNG), so pin the three things
+    that make a Bernoulli sample a sample: every emitted row is a real
+    source row, the draw is seed-stable run-to-run, and the sample
+    size sits within 5 sigma of fraction * N (binomial)."""
+    out = _OPS["scan_sample"].fn(spark, sf_dir).toPandas()
+    again = _OPS["scan_sample"].fn(spark, sf_dir).toPandas()
+    assert sorted(out.o_orderkey) == sorted(again.o_orderkey)
+
+    src = duck.execute(
+        "SELECT o_orderkey, o_totalprice FROM orders"
+    ).fetchdf()
+    merged = out.merge(src, on="o_orderkey", suffixes=("", "_src"))
+    assert len(merged) == len(out)  # subset of source keys
+    assert (merged.o_totalprice == merged.o_totalprice_src).all()
+
+    n = len(src)
+    mean, sigma = 0.1 * n, (n * 0.1 * 0.9) ** 0.5
+    assert abs(len(out) - mean) <= 5 * sigma, (len(out), mean, sigma)
+
+
 def test_shuffle_budget_everywhere(spark, sf_dir):
     """Global scale guard #2: data shuffles (hash/range/single-partition
     exchanges in the executed plan, broadcasts excluded) are the unit
