@@ -17,6 +17,38 @@ def hamming(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def test_simhash_batch_kernel_matches_reference():
+    """The vectorized batch kernel the Pandas UDF runs must be
+    bit-exact with the scalar reference — including repeated tokens
+    (vote weights), the empty token '' (what ''.split(' ') yields),
+    single-token docs, and the empty list."""
+    import numpy as np
+
+    from s3_avro_repair_spark.operators.text_quality import simhash64_batch
+
+    cases = [
+        ["alpha", "beta", "gamma"],
+        ["alpha", "alpha", "alpha", "beta"],  # weighted votes
+        [""],
+        ["solo"],
+        [],
+        [f"tok{i}" for i in range(200)],
+        ["the", "quick", "the", "fox", "the"],
+    ]
+    got = simhash64_batch(cases)
+    expect = np.array([simhash64(c) for c in cases], dtype=np.uint64)
+    assert (got == expect).all(), list(zip(got, expect))
+    assert simhash64_batch([]).shape == (0,)
+
+    # Wide-vocabulary batch (> 2^13 uniques) takes the per-doc slice
+    # path — cover it too, including an empty doc mid-batch.
+    wide = [[f"w{i}_{j}" for j in range(3000)] for i in range(3)]
+    wide.insert(1, [])
+    got_w = simhash64_batch(wide)
+    expect_w = np.array([simhash64(c) for c in wide], dtype=np.uint64)
+    assert (got_w == expect_w).all()
+
+
 def test_simhash_planted_near_dup():
     """One substituted token out of 40 moves few SimHash bits; a
     disjoint vocabulary moves ~half of them."""
