@@ -588,7 +588,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="W",
     oracle="""
     SELECT event_id, user_id,
-           ROUND((value - LAG(value) OVER w) / LAG(value) OVER w, 4)
+           FLOOR((value - LAG(value) OVER w)
+                 / NULLIF(LAG(value) OVER w, 0) * 10000 + 0.5) / 10000
              AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -598,16 +599,23 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity percent change between consecutive readings — the
     metric behind rate-of-change alerting and return series. A plain
     LAG over the per-user stream: one shuffle on user_id, first reading
-    per user NULL by definition. Division is the only float op, rounded
-    identically on both engines (fixture values are strictly positive,
-    so no zero-denominator branch is needed)."""
+    per user NULL by definition. A zero previous reading yields NULL
+    (try_divide here, NULLIF in the oracle): percent-of-zero is
+    undefined, and the engines would otherwise DIVERGE on it — Spark's
+    ANSI division throws where DuckDB's IEEE double returns inf. The
+    sf0.1 fixture contains zero readings; sf0.01 does not, which is
+    exactly why this branch is semantics, not fixture-fitting. Rounding
+    is the shared floor(x*1e4 + 0.5)/1e4 double tree, not ROUND —
+    engine ROUNDs disagree by one ULP on boundary doubles (one cell in
+    600k at sf0.1)."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
+    pct = F.try_divide(F.col("value") - prev, prev)
     return e.select(
         "event_id",
         "user_id",
-        F.round((F.col("value") - prev) / prev, 4).alias("pct_change"),
+        (F.floor(pct * 10000 + 0.5) / 10000).alias("pct_change"),
     )
 
 

@@ -148,6 +148,38 @@ def test_merge_intervals_matches_sweep_reference(rows, tmp_path_factory):
     assert sum(n for _, _, n in got.values()) == len(rows)
 
 
+def test_pct_change_zero_previous_reading(spark, tmp_path_factory):
+    """A zero reading followed by a nonzero one crashed window_pct_change
+    under ANSI division (found by the sf0.1 sweep — sf0.01 happens to
+    contain no zeros). percent-of-zero is NULL by definition now, on
+    both engines."""
+    tmp = tmp_path_factory.mktemp("pctzero")
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [BASE_US + i * 1_000_000 for i in range(4)], unit="us"
+            ),
+            "user_id": 1,
+            "event_type": "click",
+            "value": [4.0, 0.0, 8.0, 2.0],
+            "props": "{}",
+        }
+    )
+    df.to_parquet(str(tmp / "events.parquet"))
+
+    from s3_avro_repair_spark.plans.registry import load_all
+
+    out = {
+        r["event_id"]: r["pct_change"]
+        for r in load_all()["window_pct_change"].fn(spark, str(tmp)).collect()
+    }
+    assert out[0] is None            # first reading
+    assert out[1] == -1.0            # 4 -> 0
+    assert out[2] is None            # previous reading is zero
+    assert out[3] == -0.75           # 8 -> 2
+
+
 @st.composite
 def _funnel_streams(draw):
     """Per-user event sequences over a tiny time range so stage events
