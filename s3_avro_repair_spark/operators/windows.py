@@ -681,7 +681,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id,
-           ROUND((value - mu) / sd, 4) AS z,
+           ROUND((value - mu) / sd, 4) + 0 AS z,
            CASE WHEN sd > 0 AND ABS((value - mu) / sd) > 2
                 THEN TRUE ELSE FALSE END AS is_outlier
     FROM s
@@ -700,7 +700,10 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-frame streaming class that survives any history length.
     The z division is rounded to 4dp on both engines; the flag is a
     threshold on the same rounded-free expression (|z| > 2 lands far
-    from fp noise at fixture scale)."""
+    from fp noise at fixture scale). `+ 0` after the round on both
+    sides normalizes IEEE signed zero: a reading equal to its window
+    mean can land at -0.0 on one engine and 0.0 on the other (one
+    cell in 600k at sf0.1), and -0.0 + 0.0 is +0.0 by the standard."""
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -716,7 +719,7 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(z, 4).alias("z"),
+            (F.round(z, 4) + F.lit(0.0)).alias("z"),
             ((F.col("sd") > 0) & (F.abs(z) > 2)).alias("is_outlier"),
         )
     )
