@@ -203,6 +203,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
     )
+    if e.isEmpty():
+        # KMeans.fit refuses an empty dataset; an empty corpus has an
+        # empty neighbor list, not a crash (degenerate partitions are
+        # routine at 100 TB).
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
+        )
     km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
     cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
     from .llm import _norm

@@ -144,6 +144,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select("src").distinct()
     n = nodes.count()
+    if n == 0:
+        # Empty graph (empty corpus, or a filter left no similarity
+        # pairs): zero ranked nodes, not a 1/n division crash.
+        return nodes.select(
+            F.col("src").alias("vec_id"), F.lit(0.0).alias("score")
+        )
     scores = nodes.select(
         F.col("src").alias("vec_id"), F.lit(1.0 / n).alias("score")
     ).localCheckpoint(eager=True)

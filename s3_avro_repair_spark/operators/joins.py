@@ -310,8 +310,11 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_quality.py asserts the dynamicpruning expression is in
     the physical plan. The max-key anchor keeps the selected set
     deterministic at every fixture scale."""
-    fact = spark.read.parquet(_ensure_dpp_fact(spark, sf_dir))
     o = table(spark, sf_dir, "orders")
+    # Explicit schema on the fact read: a zero-row layout (empty input
+    # partition) has no data files to infer from; DPP's partition
+    # discovery and pruning are unaffected by a provided schema.
+    fact = spark.read.schema(o.schema).parquet(_ensure_dpp_fact(spark, sf_dir))
     # DPP's planner rule wants the classic shape: a selective filter on
     # a NON-join dim column. The max-key anchor is an in-plan scalar
     # subquery (no driver action), but the qualifying STATUSES still

@@ -619,6 +619,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
     )
+    if e.isEmpty():
+        # LSH.fit refuses an empty dataset; empty corpus -> empty
+        # result, not a crash.
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, euclid_dist double"
+        )
     q = e.filter(F.col("vec_id") % 100 == 0)
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42

@@ -138,8 +138,12 @@ def _decimal_bytes(price: float) -> bytes:
 
 
 def inject_truncate(data: bytes) -> bytes:
-    """Cut the file in the middle of its middle block."""
+    """Cut the file in the middle of its middle block. A header-only
+    file (zero-record input partition) has no block to cut — pass it
+    through, as do the other block-structure injuries."""
     spans = block_spans(data)
+    if not spans:
+        return data
     _, payload_start, size, _ = spans[len(spans) // 2]
     return data[: payload_start + size // 2]
 
@@ -152,6 +156,8 @@ def inject_flip(data: bytes) -> bytes:
     a varint hits >64-bit continuation, a length overruns the buffer,
     or string content fails utf-8."""
     spans = block_spans(data)
+    if not spans:
+        return data
     _, payload_start, size, _ = spans[0]
     b = bytearray(data)
     b[payload_start + size - 16 : payload_start + size] = b"\xff" * 16
@@ -161,6 +167,8 @@ def inject_flip(data: bytes) -> bytes:
 def inject_bad_sync(data: bytes) -> bytes:
     """Zero out the sync marker trailing the first block."""
     spans = block_spans(data)
+    if not spans:
+        return data
     end = spans[0][3]
     b = bytearray(data)
     b[end - 16 : end] = b"\x00" * 16
@@ -278,6 +286,7 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
             with open(os.path.join(corrupt_dir, f"orders_{i}.avro"), "wb") as fo:
                 fo.write(data)
 
+        os.makedirs(part_dir)  # empty corpus -> empty layout, not a missing dir
         years = pd.to_datetime(df["o_orderdate"], unit="us").dt.year
         for year in sorted(years.unique()):
             ydir = os.path.join(part_dir, f"year={year}")

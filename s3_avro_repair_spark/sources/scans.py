@@ -99,7 +99,10 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("sink_parquet")
     o = table(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    back = spark.read.parquet(out)
+    # Explicit schema on the read-back: a zero-row write leaves only
+    # _SUCCESS behind, and schema inference over no files throws — an
+    # empty partition must round-trip to an empty aggregate.
+    back = spark.read.schema(o.schema).parquet(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
@@ -634,17 +637,19 @@ def scan_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(_CACHE_ROOT, f"{tag}_pqpart_v1")
+    laid_out = table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
     if not os.path.isdir(root):
-        o = table(spark, sf_dir, "orders")
-        (
-            o.withColumn("year", F.year("o_orderdate"))
-            .write.partitionBy("year")
-            .mode("overwrite")
-            .parquet(root + ".tmp")
+        laid_out.write.partitionBy("year").mode("overwrite").parquet(
+            root + ".tmp"
         )
         os.rename(root + ".tmp", root)
+    # Explicit schema: an all-empty layout (zero input rows) has no
+    # data files to infer from, and partition discovery still prunes
+    # on `year` exactly as with inference.
     return (
-        spark.read.parquet(root)
+        spark.read.schema(laid_out.schema).parquet(root)
         .filter(F.col("year") == 1996)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
