@@ -198,10 +198,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # no vector, no cell
+        .select(
+            "vec_id",
+            "embedding",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+        )
     )
     if e.isEmpty():
         # KMeans.fit refuses an empty dataset; an empty corpus has an

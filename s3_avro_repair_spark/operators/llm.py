@@ -56,7 +56,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.5 == similarity >= 0.5."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())  # MinHash of nothing is undefined
+    )
     toks = d.withColumn("tokens", F.split("text", " "))
     # Index-free shingles (zip_with over shifted slices): an indexed
     # lambda dereferencing `tokens` re-runs the substituted split per
@@ -616,8 +620,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("vec")
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # no vector, no buckets
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+        )
     )
     if e.isEmpty():
         # LSH.fit refuses an empty dataset; empty corpus -> empty

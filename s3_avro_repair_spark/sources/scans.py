@@ -114,7 +114,10 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, COUNT(*) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
-    FROM documents GROUP BY lang
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      AND lang IS NOT NULL AND n_chars IS NOT NULL
+    GROUP BY lang
     """,
 )
 def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +133,14 @@ def sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .avro_pipeline import read_avro_dir, write_avro_dir
 
     out = scratch_dir("sink_avro")
-    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    # The declared Avro schema is NON-nullable; rows violating it are
+    # dead-lettered (filtered) rather than failing the write task —
+    # mirrored in the oracle's WHERE so parity holds on dirty data too.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", "n_chars")
+        .na.drop()
+    )
     schema = {
         "type": "record",
         "name": "document",
