@@ -200,22 +200,34 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = (
         table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())  # no vector, no cell
+        # no vector (or a non-finite one KMeans cannot take a distance
+        # to), no cell — NaN fails the < via three-valued logic
+        .filter(F.col("embedding").isNotNull())
+        .filter(
+            F.expr("forall(embedding, x -> abs(x) < cast('infinity' as double))")
+        )
         .select(
             "vec_id",
             "embedding",
             array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
         )
     )
-    if e.isEmpty():
-        # KMeans.fit refuses an empty dataset; an empty corpus has an
-        # empty neighbor list, not a crash (degenerate partitions are
-        # routine at 100 TB).
+    # One bounded driver probe (scan stops at 8 rows) covers BOTH
+    # degenerate shapes: an empty corpus has an empty neighbor list,
+    # and a corpus smaller than k crashes KMeans.fit outright
+    # (ArrayIndexOutOfBounds in Spark 4.1) — below k vectors there is
+    # nothing to quantize, so everything shares one cell and the
+    # "IVF" is just the exact search it would degenerate to anyway.
+    probe = e.take(8)
+    if not probe:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
         )
-    km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
-    cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
+    if len(probe) < 8:
+        cells = e.select("vec_id", "embedding", F.lit(0).alias("cell"))
+    else:
+        km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
+        cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
     from .llm import _norm
 
     q = cells.filter(F.col("vec_id") % 100 == 0).select(

@@ -126,8 +126,14 @@ def _orders_records(sf_dir: str) -> pd.DataFrame:
     # The fleet's writer schema is NON-nullable: rows with a NULL in
     # any written field are dead-lettered here exactly as a real
     # Avro ingest would refuse them (NaT also cannot round-trip the
-    # int64 date normalization below).
+    # int64 date normalization below). Non-finite prices go with them:
+    # the typed/ rendition carries o_totalprice as a spec DECIMAL,
+    # which has no rendition for NaN/Inf, and one coherent fleet must
+    # be representable in EVERY rendition.
     df = df.dropna(subset=ORDERS_COLS)
+    import numpy as np
+
+    df = df[np.isfinite(df["o_totalprice"])]
     # pandas 2.x preserves the parquet ms resolution; normalize to µs
     # explicitly rather than assuming ns.
     df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]").astype("int64")
