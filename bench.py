@@ -105,7 +105,11 @@ def main() -> int:
     # position / page-cache warmth alone (r4 bisect, SCALING.md), so a
     # breach must survive re-measurement before it lands in the record.
     prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
-    prev_queries = prior[1] if prior else {}
+    # Subset runs skip the guard entirely (see below), so they must
+    # also skip breach-triggered extra runs — an isolated query misses
+    # the suite's cache warm-up and would escalate 2 -> 4 runs chasing
+    # a breach the guard then refuses to report.
+    prev_queries = prior[1] if prior and not only else {}
     timings: dict[str, float] = {}
     for name in headline:
         op = ops.get(name)
@@ -139,7 +143,7 @@ def main() -> int:
         # false breaches (see SCALING.md, round-4 bisect).
         print("bench guard skipped: subset run", file=sys.stderr)
     else:
-        guard_report(timings, sf)
+        guard_report(timings, sf, prior)
     print(
         json.dumps(
             {
@@ -199,8 +203,13 @@ def prior_round_queries(repo_dir: str) -> tuple[str, dict[str, float]] | None:
     return os.path.basename(best[1]), queries
 
 
-def guard_report(timings: dict[str, float], sf: float) -> None:
-    prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
+def guard_report(
+    timings: dict[str, float],
+    sf: float,
+    prior: tuple[str, dict[str, float]] | None = None,
+) -> None:
+    if prior is None:  # standalone use (tests) — main() passes its own
+        prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
     if prior is None:
         return
     name, prev = prior

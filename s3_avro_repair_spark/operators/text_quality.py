@@ -240,11 +240,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def simhash_udf(texts: pd.Series) -> pd.Series:
         # Mask to a signed 63-bit value: Spark longs are signed, and the
         # banding below only needs bit equality, not the sign bit.
-        # NULL text sketches like an empty doc (hash 0) — it can never
-        # be a near-duplicate of content.
-        hashes = simhash64_batch(
-            [[] if t is None else t.split(" ") for t in texts]
-        )
+        # NULL text never reaches here — the isNotNull filter below is
+        # the contract (dropping beats hash-0 bucketing: it keeps all
+        # missing-text docs from piling into one candidate bucket).
+        hashes = simhash64_batch([t.split(" ") for t in texts])
         return pd.Series(
             (hashes & 0x7FFFFFFFFFFFFFFF).astype("int64"), index=texts.index
         )
@@ -401,23 +400,22 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT doc_id, lang,
              substr(lower(text), 1, 12) AS blk,
-             substr(lower(text), 1, 64) AS head
+             substr(lower(text), 1, 64) AS head,
+             list_transform(string_split(substr(lower(text), 1, 64), ' '),
+               w -> strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+               AS nibs
       FROM documents
     ),
     bands AS (
       SELECT doc_id, lang, blk, head,
-        (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
-           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
-                      & 1) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)
-      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
-           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
-                      & 2) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END)
-      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
-           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
-                      & 4) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END)
-      + (CASE WHEN list_sum(list_transform(string_split(head, ' '), w ->
-           CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
-                      & 8) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
+        (CASE WHEN list_sum(list_transform(nibs, v ->
+           CASE WHEN (v & 1) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(nibs, v ->
+           CASE WHEN (v & 2) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 2 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(nibs, v ->
+           CASE WHEN (v & 4) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 4 ELSE 0 END)
+      + (CASE WHEN list_sum(list_transform(nibs, v ->
+           CASE WHEN (v & 8) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
         AS band
       FROM n
     )
@@ -459,16 +457,33 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.lower("text"), 1, 64).alias("head"),
     )
 
-    def _bit_vote(j: int) -> str:
-        return (
-            "(CASE WHEN aggregate(split(head, ' '), 0, (acc, w) -> acc + "
-            f"(CASE WHEN (cast(conv(substr(md5(w), 1, 1), 16, 10) AS int) & {1 << j})"
-            f" <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        )
-
-    bands = n.withColumn(
-        "band", F.expr(" + ".join(_bit_vote(j) for j in range(4)))
+    # ONE md5 per token: transform materializes the md5 nibbles once,
+    # then a single aggregate majority-votes all 4 bits over a packed
+    # accumulator (four 8-bit counters biased at 128 in one BIGINT —
+    # heads are <= 64 chars so each counter stays within 128 +/- 33)
+    # and the finish lambda decodes the band. Writing it as one
+    # expression matters: 4 separate votes referencing an aliased
+    # nibble column would be re-inlined by CollapseProject into 4 md5
+    # passes — the same HOF trap text_repetition's docstring documents.
+    _BAND_EXPR = """
+    aggregate(
+      transform(split(head, ' '),
+                w -> cast(conv(substr(md5(w), 1, 1), 16, 10) AS bigint)),
+      cast(2155905152 AS bigint),
+      (acc, v) -> acc
+        + (CASE WHEN (v & 1) <> 0 THEN 1 ELSE -1 END)
+        + (CASE WHEN (v & 2) <> 0 THEN 256 ELSE -256 END)
+        + (CASE WHEN (v & 4) <> 0 THEN 65536 ELSE -65536 END)
+        + (CASE WHEN (v & 8) <> 0 THEN 16777216 ELSE -16777216 END),
+      acc -> cast(
+          (CASE WHEN (acc & 255) > 128 THEN 1 ELSE 0 END)
+        + (CASE WHEN (shiftright(acc, 8) & 255) > 128 THEN 2 ELSE 0 END)
+        + (CASE WHEN (shiftright(acc, 16) & 255) > 128 THEN 4 ELSE 0 END)
+        + (CASE WHEN (shiftright(acc, 24) & 255) > 128 THEN 8 ELSE 0 END)
+        AS int)
     )
+    """
+    bands = n.withColumn("band", F.expr(_BAND_EXPR))
     a, b = bands.alias("a"), bands.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (

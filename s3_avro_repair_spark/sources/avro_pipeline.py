@@ -97,6 +97,33 @@ TYPED_ORDERS_COLS = [f["name"] for f in TYPED_ORDERS_SCHEMA["fields"]]
 _US_PER_DAY = 86_400_000_000
 N_FILES = 8
 
+# Every avro fixture tree derives from orders.parquet through
+# _orders_records' dead-letter gate (NULL in any written field, or a
+# non-finite price, is refused exactly as a real Avro ingest under a
+# non-nullable writer schema would refuse it). Oracles whose row set
+# comes from the fixture tree must therefore apply the SAME gate —
+# on clean driver fixtures it is a no-op, on dirty inputs it keeps the
+# two engines looking at the same fleet. DuckDB footgun this guards:
+# NaN IS NOT NULL is TRUE, so isfinite() is the actual NaN/Inf gate
+# (and without it, CAST(o_totalprice AS DECIMAL) errors on NaN/Inf).
+ORDERS_CLEAN_WHERE = (
+    "o_orderkey IS NOT NULL AND o_custkey IS NOT NULL "
+    "AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL "
+    "AND isfinite(o_totalprice) AND o_orderdate IS NOT NULL"
+)
+
+
+def clean_orders(df: DataFrame) -> DataFrame:
+    """Spark twin of ``_orders_records``' dead-letter gate (and of
+    ``ORDERS_CLEAN_WHERE``): use it on any plan that writes orders rows
+    through the non-nullable writer schema so both engines agree on the
+    fleet's row set. ``na.drop`` already drops NaN for double columns;
+    the explicit predicate adds the +/-Inf refusal."""
+    price = F.col("o_totalprice")
+    return df.na.drop(subset=ORDERS_COLS).where(
+        ~F.isnan(price) & (F.abs(price) != float("inf"))
+    )
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CACHE_ROOT = os.path.join(_REPO_ROOT, ".avro_cache")
 
@@ -466,10 +493,10 @@ def _salvage_report(batches):
 @register(
     "avro_scan",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
-    FROM orders
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,10 +514,10 @@ def avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_scan_snappy",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
-    FROM orders
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_scan_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +554,7 @@ MIXED_READER_SCHEMA = {
     SELECT o_orderkey, o_totalprice,
            CASE WHEN o_orderkey % 8 >= {N_FILES // 2} THEN o_orderstatus
                 ELSE 'NA' END AS o_orderstatus
-    FROM orders
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_scan_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,12 +591,12 @@ def avro_scan_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_scan_logical",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
              AS totalprice_dec,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate_day
-    FROM orders
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_scan_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,10 +650,10 @@ def avro_scan_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_scan_partitioned",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS year,
            COUNT(*) AS n
-    FROM orders GROUP BY 1
+    FROM orders WHERE {ORDERS_CLEAN_WHERE} GROUP BY 1
     """,
 )
 def avro_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,14 +758,11 @@ def avro_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_rewrite",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_odate_us
-    FROM orders
-    WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
-      AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
-      AND o_orderdate IS NOT NULL
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +772,7 @@ def avro_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (one per partition, tmp + atomic rename) -> strict re-scan ->
     aggregate, hash-checked against the source-of-truth parquet."""
     out = scratch_dir("avro_rewrite")
-    o = table(spark, sf_dir, "orders").select(
+    o = clean_orders(table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -804,8 +828,9 @@ EVOLVED_READER_SCHEMA = {
 @register(
     "avro_scan_evolved",
     group="E",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, 'UNKNOWN' AS region FROM orders
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice, 'UNKNOWN' AS region
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
 )
 def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,11 +864,11 @@ def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_stats",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT CAST(o_orderkey % 8 AS BIGINT) AS file_idx,
            COUNT(*) AS n_records,
            CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_blocks
-    FROM orders GROUP BY 1
+    FROM orders WHERE {ORDERS_CLEAN_WHERE} GROUP BY 1
     """,
 )
 def avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,11 +908,11 @@ def avro_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_compact",
     group="E",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus AS status, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price
-    FROM orders GROUP BY o_orderstatus
+    FROM orders WHERE {ORDERS_CLEAN_WHERE} GROUP BY o_orderstatus
     """,
 )
 def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +964,7 @@ def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 3 ELSE 5 END AS n_fields,
            CAST({N_FILES // 2} AS BIGINT) AS n_files,
            COUNT(*) AS n_records
-    FROM orders
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
     GROUP BY 1, 2, 3, 4
     """,
 )

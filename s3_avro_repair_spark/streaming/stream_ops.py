@@ -473,16 +473,21 @@ def stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register(
-    "stream_avro_ingest",
-    group="T",
-    oracle="""
+def _ingest_oracle() -> str:
+    # Lazy (registry rule): importing avro_pipeline at decoration time
+    # would register its ops mid-window. The fixture tree applies the
+    # dead-letter gate, so the oracle must see the same row set.
+    from ..sources.avro_pipeline import ORDERS_CLEAN_WHERE
+
+    return f"""
     SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
+    FROM orders WHERE {ORDERS_CLEAN_WHERE} GROUP BY o_orderstatus
+    """
+
+
+@register("stream_avro_ingest", group="T", oracle=_ingest_oracle)
 def stream_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous Avro ingest — the reference's one-shot repair sweep
     turned into a standing pipeline: new container files landing in a
