@@ -161,7 +161,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
     SELECT tf.doc_id,
            ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4)
-             AS entropy
+             + 0 AS entropy
     FROM tf JOIN n ON tf.doc_id = n.doc_id
     GROUP BY tf.doc_id
     """,
@@ -182,7 +182,10 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c").cast("double") / F.col("n")
     return (
         withn.groupBy("doc_id")
-        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+        # + 0 normalizes IEEE signed zero: a single-token doc sums to
+        # -0.0 on one engine and 0.0 on the other (-0.0 + 0.0 is +0.0
+        # in IEEE 754 round-to-nearest; same fix as ts_zscore).
+        .agg((F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0)).alias("entropy"))
     )
 
 
