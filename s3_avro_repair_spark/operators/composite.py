@@ -1245,12 +1245,13 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           string_split(text,' ')[i+2]))) AS DOUBLE)
             / (len(string_split(text,' ')) - 2) < 0.1
     ),
-    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM gated),
-    pos AS (SELECT doc_id, lang, unnest(t) AS w,
+    toks AS (SELECT row_number() OVER () AS rid, doc_id, lang,
+                    string_split(text, ' ') AS t FROM gated),
+    pos AS (SELECT rid, doc_id, lang, unnest(t) AS w,
                    generate_subscripts(t, 1) AS i FROM toks),
-    segs AS (SELECT doc_id, lang, (i-1)//8 AS chunk,
+    segs AS (SELECT rid, doc_id, lang, (i-1)//8 AS chunk,
                     string_agg(w, ' ' ORDER BY i) AS seg
-             FROM pos GROUP BY doc_id, lang, (i-1)//8),
+             FROM pos GROUP BY rid, doc_id, lang, (i-1)//8),
     bp AS (SELECT md5(seg) AS h FROM segs
            GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= 2),
     cleaned AS (
@@ -1258,7 +1259,7 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(string_agg(CASE WHEN bp.h IS NULL THEN seg END,
                                  ' ' ORDER BY chunk), '') AS clean_text
       FROM segs LEFT JOIN bp ON md5(segs.seg) = bp.h
-      GROUP BY doc_id, lang
+      GROUP BY rid, doc_id, lang
     ),
     deduped AS (
       SELECT MIN(doc_id) AS keep_id, lang, clean_text
@@ -1295,8 +1296,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     this pipeline); with zip_with each slice evaluates once per row,
     so the aggressive pushdown is the BENEFIT it should be."""
     d = table(spark, sf_dir, "documents")
+    # Per-row identity tag: under at-least-once delivery each copy is
+    # cleaned independently (same contract as dedup_segments) and the
+    # exact-dedup stage then collapses the byte-identical results —
+    # never a cross-copy merge inside the segment reassembly.
     toks = d.select(
-        "doc_id", "lang", "n_chars", F.split("text", " ").alias("t")
+        "doc_id", "lang", "n_chars",
+        F.monotonically_increasing_id().alias("rid"),
+        F.split("text", " ").alias("t"),
     )
     with_tri = toks.withColumn(
         "tri",
@@ -1314,8 +1321,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("t") - 2)
             < 0.1
         )
-    ).select("doc_id", "lang", "t")
+    ).select("rid", "doc_id", "lang", "t")
     segs = gated.select(
+        "rid",
         "doc_id",
         "lang",
         F.expr(
@@ -1331,7 +1339,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cleaned = (
         segs.join(bp, "h", "left")
-        .groupBy("doc_id", "lang")
+        .groupBy("rid", "doc_id", "lang")
         .agg(
             F.array_join(
                 F.transform(

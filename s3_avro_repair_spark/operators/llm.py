@@ -268,11 +268,12 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_ngrams",
     group="L",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-    pos AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+    WITH toks AS (SELECT row_number() OVER () AS rid,
+                         string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT rid, unnest(l) AS w, generate_subscripts(l, 1) AS i
             FROM toks)
     SELECT p1.w || ' ' || p2.w AS bigram, COUNT(*) AS n
-    FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+    FROM pos p1 JOIN pos p2 ON p1.rid = p2.rid AND p2.i = p1.i + 1
     GROUP BY 1
     """,
 )
@@ -372,14 +373,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_collocation",
     group="L",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-    pos AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+    WITH toks AS (SELECT row_number() OVER () AS rid,
+                         string_split(text, ' ') AS l FROM documents),
+    pos AS (SELECT rid, unnest(l) AS w, generate_subscripts(l, 1) AS i
             FROM toks),
     uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
     nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
     big AS (
       SELECT p1.w AS w1, p2.w AS w2, COUNT(*) AS c
-      FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+      FROM pos p1 JOIN pos p2 ON p1.rid = p2.rid AND p2.i = p1.i + 1
       GROUP BY 1, 2
     ),
     nb AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM big)
@@ -654,12 +656,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_segments",
     group="L",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+    WITH toks AS (SELECT row_number() OVER () AS rid, doc_id,
+                         string_split(text, ' ') AS t FROM documents),
+    pos AS (SELECT rid, doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
             FROM toks),
-    segs AS (SELECT doc_id, (i-1)//8 AS chunk,
+    segs AS (SELECT rid, doc_id, (i-1)//8 AS chunk,
                     string_agg(w, ' ' ORDER BY i) AS seg
-             FROM pos GROUP BY doc_id, (i-1)//8),
+             FROM pos GROUP BY rid, doc_id, (i-1)//8),
     bp AS (SELECT md5(seg) AS h FROM segs
            GROUP BY md5(seg) HAVING COUNT(DISTINCT doc_id) >= 2)
     SELECT doc_id,
@@ -669,7 +672,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(string_agg(CASE WHEN h IS NULL THEN seg END,
                                ' ' ORDER BY chunk), '') AS clean_text
     FROM segs LEFT JOIN bp ON md5(segs.seg) = bp.h
-    GROUP BY doc_id
+    GROUP BY rid, doc_id
     """,
 )
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,15 +693,26 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (groupBy doc_id -> sort by segment index -> rejoin), which any
     rewriting pipeline pays exactly once. collect_list is
     order-nondeterministic, so the struct sort on the unique chunk
-    index — not collection order — fixes determinism."""
+    index — not collection order — fixes determinism.
+
+    Row contract under at-least-once delivery: each physical input
+    row is cleaned INDEPENDENTLY (copies in, copies out — collapsing
+    re-delivered copies is dedup_exact's job, and a doc's own second
+    copy never votes its segments into boilerplate, since the vote is
+    per DISTINCT doc_id). The per-row identity tag rides the existing
+    shuffles; it adds none."""
     d = table(spark, sf_dir, "documents")
     # Materialize the token array BEFORE the segment lambda: an inline
     # split inside transform re-evaluates per element (O(tokens^2) per
     # doc); CollapseProject keeps the alias because it is referenced
     # more than once, so this projection is load-bearing.
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    toks = d.select(
+        "doc_id", F.monotonically_increasing_id().alias("rid"),
+        F.split("text", " ").alias("t"),
+    )
     segs = (
         toks.select(
+            "rid",
             "doc_id",
             F.expr(
                 "posexplode(transform("
@@ -719,7 +733,7 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_bp").isNull(), F.struct(F.col("chunk"), F.col("seg"))
     )
     return (
-        marked.groupBy("doc_id")
+        marked.groupBy("rid", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_seg"),
             F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0))
@@ -732,6 +746,7 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("clean_text"),
         )
+        .drop("rid")
     )
 
 
