@@ -1,11 +1,17 @@
 """W group — window functions.
 
-Every window ORDER BY here ends in a unique key (orderkey / event_id)
-so rank assignment is total-ordered and deterministic across engines —
-the discipline SURVEY.md §5.2.4 mandates. Window execution shuffles
-once on partitionBy keys; with billions of rows per key you'd salt or
-pre-bucket, but these partitions (custkey, user_id, returnflag) are
-naturally well-distributed.
+Every window ORDER BY here ends in a TOTAL order of the projected row:
+a unique key (orderkey / event_id) followed, for the events sequence
+ops, by the sequence value itself — under at-least-once ingest even
+(ts, event_id) can collide, and an offset/frame function whose order
+stops at the collision emits an arbitrary engine-dependent
+interleaving (found by the key-collision sweep; the oracle side pins
+NULLS FIRST to match Spark's ascending default). This is the
+discipline SURVEY.md §5.2.4 mandates, upgraded from "unique key" to
+"total order". Window execution shuffles once on partitionBy keys;
+with billions of rows per key you'd salt or pre-bucket, but these
+partitions (custkey, user_id, returnflag) are naturally
+well-distributed.
 """
 
 from __future__ import annotations
@@ -55,15 +61,19 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            FIRST_VALUE(value) OVER w AS first_value,
            LAST_VALUE(value)  OVER w AS last_value
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last per user ordered by time (explicit frame so
-    LAST_VALUE means 'so far', identically in both engines)."""
+    LAST_VALUE means 'so far', identically in both engines). The order
+    ends in `value` so it totally orders the PROJECTED row: under
+    at-least-once ingest two rows can collide on (ts, event_id), and a
+    sequence op whose order stops at the collision emits an arbitrary
+    engine-dependent interleaving (found by the key-collision sweep)."""
     e = table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id", "value")
     w_frame = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return e.select(
         "event_id",
@@ -417,7 +427,8 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            LAST_VALUE(gapped IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id
+             ORDER BY ts, event_id, gapped NULLS FIRST
              ROWS UNBOUNDED PRECEDING) AS filled_value
     FROM (
       SELECT event_id, user_id, ts,
@@ -442,9 +453,12 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
         F.col("value")
     )
+    # Trailing `gapped` key: a (ts, event_id) collision of two non-null
+    # readings must hand a deterministic last-value to the NEXT row's
+    # carry-forward on both engines (see window_pct_change).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", gapped)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
@@ -506,16 +520,20 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (
       SELECT event_id, user_id, us, gapped,
              LAST_VALUE(gapped IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts, event_id, gapped NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
              LAST_VALUE(CASE WHEN gapped IS NOT NULL THEN us END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id
+               ORDER BY ts, event_id, gapped NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
              FIRST_VALUE(gapped IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id
+               ORDER BY ts, event_id, gapped NULLS FIRST
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
              FIRST_VALUE(CASE WHEN gapped IS NOT NULL THEN us END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id
+               ORDER BY ts, event_id, gapped NULLS FIRST
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
       FROM g
     )
@@ -548,14 +566,16 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value")
     )
     g = e.select("event_id", "user_id", "ts", us.alias("us"), gapped.alias("gapped"))
+    # Trailing `gapped` key: neighbor choice at a (ts, event_id)
+    # collision must be deterministic on both engines (ts_fill_forward).
     wprev = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "gapped")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wnext = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "gapped")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     us_if = F.when(F.col("gapped").isNotNull(), F.col("us"))
@@ -592,7 +612,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / NULLIF(LAG(value) OVER w, 0) * 10000 + 0.5) / 10000
              AS pct_change
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts, event_id, value NULLS FIRST)
     """,
 )
 def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +630,11 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine ROUNDs disagree by one ULP on boundary doubles (one cell in
     600k at sf0.1)."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Trailing `value` key: totally orders the projected row so
+    # (ts, event_id) key collisions (at-least-once ingest) can't make
+    # the lag interleaving engine-dependent. NULLS FIRST in the oracle
+    # matches Spark's ascending default.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "value")
     prev = F.lag("value").over(w)
     pct = F.try_divide(F.col("value") - prev, prev)
     return e.select(
@@ -629,7 +654,8 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
              / ((1 - pow(0.7, len(l))) / 0.3), 4) AS ewma
     FROM (
       SELECT event_id, user_id,
-             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             list(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id, value NULLS FIRST
                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
       FROM events
     )
@@ -651,9 +677,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric sum (1-0.7^n)/0.3, not a second list pass. Both engines
     round the one float division to 4dp."""
     e = table(spark, sf_dir, "events")
+    # `value` tiebreak: see window_pct_change — EWMA weights depend on
+    # sequence position, so collision order must be total.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(-19, Window.currentRow)
     )
     lst = F.collect_list("value").over(w)
@@ -677,7 +705,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              AVG(value)         OVER w AS mu,
              STDDEV_SAMP(value) OVER w AS sd
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, event_id, value NULLS FIRST
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id,
@@ -705,9 +734,11 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean can land at -0.0 on one engine and 0.0 on the other (one
     cell in 600k at sf0.1), and -0.0 + 0.0 is +0.0 by the standard."""
     e = table(spark, sf_dir, "events")
+    # `value` tiebreak: the exclusive trailing frame shifts by one row
+    # at a collision, so the order must be total (window_pct_change).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(-20, -1)
     )
     mu = F.avg("value").over(w)
@@ -805,7 +836,8 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="W",
     oracle="""
     SELECT user_id, event_id,
-           median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           median(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id, value NULLS FIRST
                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              AS med7
     FROM events
@@ -826,9 +858,11 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id tiebreak; one shuffle, no Python, constant per-row
     state — the plan scales with users, not with history length."""
     e = table(spark, sf_dir, "events")
+    # `value` tiebreak: frame membership at a (ts, event_id) collision
+    # must not be engine-dependent (see window_pct_change).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "value")
         .rowsBetween(-6, 0)
     )
     a = F.array_sort(F.collect_list("value").over(w))

@@ -1,0 +1,93 @@
+"""Key-collision sweep: events rows colliding on (user_id, ts) with a
+fresh event_id, AND true (event_id, ts) collisions with a different
+payload — the clock-collision / at-least-once shape of real event
+streams. Sequence ops (lag/lead/first, trailing frames, EWMA, rolling
+median) must stay ORACLE-EXACT: a divergence means the op's output
+depends on the interleaving of tied rows, which a retry or partition
+re-split would change even on clean data. The fix pinned by this sweep:
+every events window ORDER BY ends in the sequence value itself (a total
+order of the projected row), with NULLS FIRST on the oracle side to
+match Spark's ascending default.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from s3_avro_repair_spark.plans.registry import load_all
+
+from tools.verify_local import TABLES, compare
+
+_OPS = load_all()
+
+# Every oracle-paired op over the events sequence: the window/ts family,
+# the batch-equivalent stream plans, and the CDC ops keyed on event_id.
+_SEQUENCE_OPS = [
+    "window_analytic", "window_running", "window_range_frame",
+    "window_sessionize", "ts_fill_forward", "ts_downsample",
+    "ts_interpolate", "window_pct_change", "ts_ewma", "ts_zscore",
+    "window_funnel", "ts_rolling_median", "window_cumulative_distinct",
+    "window_streaks", "stream_tumbling", "stream_sliding",
+    "stream_session", "merge_upsert", "scd2_intervals",
+    "merge_intervals", "snapshot_diff", "q_cohort_retention",
+    "agg_argmax",
+]
+
+
+@pytest.fixture(scope="module")
+def collision_sf_dir(tmp_path_factory, sf_dir) -> str:
+    tmp = tmp_path_factory.mktemp("sf_tscoll")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(f"""COPY (
+              SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')
+              UNION ALL BY NAME
+              -- same (user_id, ts) as an existing row, fresh event_id
+              (SELECT event_id + 5000000 AS event_id, ts, user_id,
+                      'dup_type' AS event_type, value + 1.5 AS value, props
+               FROM read_parquet('{sf_dir}/events.parquet')
+               WHERE event_id % 97 = 5 LIMIT 5)
+              UNION ALL BY NAME
+              -- true key collision: same (event_id, ts), new payload
+              (SELECT event_id, ts, user_id, event_type,
+                      value * 2 + 7 AS value, props
+               FROM read_parquet('{sf_dir}/events.parquet')
+               WHERE event_id % 97 = 11 LIMIT 3)
+            ) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)""")
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet'))"
+                f" TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def collision_duck(collision_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{collision_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_sequence_list_is_oracled():
+    missing = [n for n in _SEQUENCE_OPS if n not in _OPS]
+    assert not missing, missing
+    no_oracle = [n for n in _SEQUENCE_OPS if _OPS[n].oracle is None]
+    assert not no_oracle, no_oracle
+
+
+@pytest.mark.parametrize("name", _SEQUENCE_OPS)
+def test_sequence_op_collision_parity(name, spark, collision_sf_dir, collision_duck):
+    op = _OPS[name]
+    sdf = op.fn(spark, collision_sf_dir).toPandas()
+    ddf = collision_duck.execute(op.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
