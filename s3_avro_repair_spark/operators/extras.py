@@ -31,13 +31,17 @@ _DOT = (
         ON a.label = b.label AND b.vec_id > a.vec_id
        AND b.vec_id - a.vec_id <= 50
     ),
-    un AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+    tagged AS (SELECT row_number() OVER () AS pid, * FROM pairs),
+    un AS (SELECT pid, id_a, id_b, unnest(ea) AS x, unnest(eb) AS y
+           FROM tagged),
     dots AS (
+      -- per PAIR ROW (pid): duplicate vec_ids must not mix elements
+      -- of different vectors into one dot (key-collision sweep)
       SELECT id_a, id_b,
              SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
              SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
              SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-      FROM un GROUP BY id_a, id_b
+      FROM un GROUP BY pid, id_a, id_b
     )
     SELECT id_a, id_b,
            ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine

@@ -483,13 +483,18 @@ _COSINE_SQL_CTE = """
         ON a.label = b.label AND b.vec_id > a.vec_id
        AND b.vec_id - a.vec_id <= 20
     ),
-    un AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+    tagged AS (SELECT row_number() OVER () AS pid, * FROM pairs),
+    un AS (SELECT pid, id_a, id_b, unnest(ea) AS x, unnest(eb) AS y
+           FROM tagged),
     dots AS (
+      -- grouped per PAIR ROW (pid), not per (id_a, id_b): duplicate
+      -- vec_ids would otherwise mix elements of different vectors
+      -- into one garbage dot product (key-collision sweep find)
       SELECT id_a, id_b,
              SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
              SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
              SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-      FROM un GROUP BY id_a, id_b
+      FROM un GROUP BY pid, id_a, id_b
     )
     SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
     FROM dots
@@ -552,14 +557,17 @@ _KNN_SQL = """
              q.embedding AS ea, c.embedding AS eb
       FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
     ),
-    un AS (SELECT query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
-           FROM pairs),
+    tagged AS (SELECT row_number() OVER () AS pid, * FROM pairs),
+    un AS (SELECT pid, query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
+           FROM tagged),
     dots AS (
+      -- per PAIR ROW (pid): duplicate vec_ids must not mix elements
+      -- of different vectors into one dot (key-collision sweep)
       SELECT query_id, neighbor_id,
              SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
              SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
              SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-      FROM un GROUP BY query_id, neighbor_id
+      FROM un GROUP BY pid, query_id, neighbor_id
     ),
     scored AS (
       SELECT query_id, neighbor_id, dot / (SQRT(na) * SQRT(nb)) AS cos
@@ -757,14 +765,16 @@ _RANGE_SQL = """
              q.embedding AS ea, c.embedding AS eb
       FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
     ),
-    un AS (SELECT query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
-           FROM pairs),
+    tagged AS (SELECT row_number() OVER () AS pid, * FROM pairs),
+    un AS (SELECT pid, query_id, neighbor_id, unnest(ea) AS x, unnest(eb) AS y
+           FROM tagged),
     dots AS (
+      -- per PAIR ROW (pid): see _KNN_SQL
       SELECT query_id, neighbor_id,
              SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
              SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
              SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-      FROM un GROUP BY query_id, neighbor_id
+      FROM un GROUP BY pid, query_id, neighbor_id
     )
     SELECT query_id, neighbor_id
     FROM dots WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.35

@@ -91,3 +91,67 @@ def test_sequence_op_collision_parity(name, spark, collision_sf_dir, collision_d
     ddf = collision_duck.execute(op.oracle).fetchdf()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# The similarity family under vec_id collisions: re-delivered vectors
+# and same-id rows carrying a DIFFERENT vector. The oracles' unnest +
+# GROUP BY dot products must stay per pair ROW — grouped on ids alone
+# they mix elements of the two different vectors into one garbage dot
+# (the original sim_cosine_pairs find).
+_SIMILARITY_OPS = [
+    "sim_cosine_pairs", "sim_knn_topk", "sim_range_search",
+    "dedup_embedding_cosine", "embedding_quantize", "multimodal_join",
+    "kmeans_quantized",
+]
+
+
+@pytest.fixture(scope="module")
+def emb_collision_sf_dir(tmp_path_factory, sf_dir) -> str:
+    tmp = tmp_path_factory.mktemp("sf_embcoll")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "embeddings":
+            con.execute(f"""COPY (
+              SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')
+              UNION ALL BY NAME
+              -- exact re-delivery (same vec_id, same vector)
+              (SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')
+               WHERE vec_id % 53 = 7 LIMIT 3)
+              UNION ALL BY NAME
+              -- key collision: same vec_id, perturbed vector
+              (SELECT vec_id,
+                      list_transform(embedding, x -> x * 0.5 + 0.1)
+                        AS embedding, label
+               FROM read_parquet('{sf_dir}/embeddings.parquet')
+               WHERE vec_id % 53 = 21 LIMIT 2)
+            ) TO '{tmp}/{t}.parquet' (FORMAT PARQUET)""")
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet'))"
+                f" TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def emb_collision_duck(emb_collision_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{emb_collision_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SIMILARITY_OPS)
+def test_similarity_op_collision_parity(
+    name, spark, emb_collision_sf_dir, emb_collision_duck
+):
+    op = _OPS[name]
+    sdf = op.fn(spark, emb_collision_sf_dir).toPandas()
+    ddf = emb_collision_duck.execute(op.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
