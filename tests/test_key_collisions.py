@@ -155,3 +155,78 @@ def test_similarity_op_collision_parity(
     ddf = emb_collision_duck.execute(op.oracle).fetchdf()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# The relational family under PK violations: orders rows re-delivered
+# exactly AND same-o_orderkey rows with a different price; customer
+# rows re-delivered. The hand-decorrelated Q queries must remain
+# equivalent to their correlated-SQL oracles even when the "keys" they
+# decorrelate on stop being unique — this is where a groupBy-then-join
+# decorrelation and a correlated subquery could part ways. All passed
+# on first run (recorded as a gate, not a fix).
+_RELATIONAL_OPS = [
+    "join_inner", "join_broadcast", "join_sort_merge", "join_left",
+    "join_semi", "join_anti", "join_asof", "join_asof_forward",
+    "join_dpp", "join_runtime_filter", "join_lateral", "join_null_safe",
+    "agg_argmax", "window_rank", "window_topk_per_group",
+    "filter_in_subquery", "filter_not_exists", "scalar_subquery_filter",
+    "scalar_subquery_select", "subquery_correlated_agg",
+    "merge_upsert", "snapshot_diff",
+]
+
+
+@pytest.fixture(scope="module")
+def pk_violation_sf_dir(tmp_path_factory, sf_dir) -> str:
+    tmp = tmp_path_factory.mktemp("sf_pkcoll")
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "orders":
+            con.execute(f"""COPY (
+              SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+              UNION ALL BY NAME
+              (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+               WHERE o_orderkey % 101 = 13 LIMIT 4)
+              UNION ALL BY NAME
+              (SELECT o_orderkey, o_custkey, o_orderstatus,
+                      o_totalprice * 2 + 11 AS o_totalprice,
+                      o_orderdate, o_orderpriority
+               FROM read_parquet('{sf_dir}/orders.parquet')
+               WHERE o_orderkey % 101 = 29 LIMIT 3)
+            ) TO '{tmp}/orders.parquet' (FORMAT PARQUET)""")
+        elif t == "customer":
+            con.execute(f"""COPY (
+              SELECT * FROM read_parquet('{sf_dir}/customer.parquet')
+              UNION ALL BY NAME
+              (SELECT * FROM read_parquet('{sf_dir}/customer.parquet')
+               WHERE c_custkey % 67 = 9 LIMIT 3)
+            ) TO '{tmp}/customer.parquet' (FORMAT PARQUET)""")
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet'))"
+                f" TO '{tmp}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    con.close()
+    return str(tmp)
+
+
+@pytest.fixture(scope="module")
+def pk_violation_duck(pk_violation_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{pk_violation_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted({n for n in _OPS if n.startswith("q_")} | set(_RELATIONAL_OPS)))
+def test_relational_op_pk_violation_parity(
+    name, spark, pk_violation_sf_dir, pk_violation_duck
+):
+    op = _OPS[name]
+    sdf = op.fn(spark, pk_violation_sf_dir).toPandas()
+    ddf = pk_violation_duck.execute(op.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
