@@ -144,8 +144,18 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_total").over(w_prefix), F.lit(0).cast("decimal(28,2)")
         ).alias("off"),
     )
+    # NULL-SAFE offset join: a list-of-names join drops NULL-key rows
+    # (null != null) that the single-window oracle keeps as their own
+    # peer group — silent data loss in the distributed rewrite (found
+    # by the null-row parity probe). pid is never null; the partition
+    # column needs <=>.
+    off = offsets.withColumnsRenamed({"pid": "o_pid", "l_returnflag": "o_flag"})
     return (
-        local.join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        local.join(
+            F.broadcast(off),
+            (F.col("pid") == F.col("o_pid"))
+            & F.col("l_returnflag").eqNullSafe(F.col("o_flag")),
+        )
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -199,6 +209,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
         "c.bkt", "c.is_real",
+    ).filter(
+        # NULL-quantity rows form their own peer group (SQL RANGE frame
+        # semantics) wholly inside the NULL bucket — a halo copy would
+        # land in the SAME null bucket and double-count the group
+        # (found by the null-row parity probe).
+        F.col("is_real") | F.col("bkt").isNotNull()
     )
     w = (
         Window.partitionBy("l_returnflag", "bkt")
@@ -245,7 +261,8 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="W",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           NTILE(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey)
+             AS quartile
     FROM customer
     """,
 )
@@ -355,9 +372,16 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cnt").over(w_prefix), F.lit(0)).alias("off"),
         F.sum("cnt").over(w_all).alias("total"),
     )
-    g = ranked.join(F.broadcast(offsets), ["pid", "o_orderstatus"]).withColumn(
-        "rn", F.col("off") + F.col("lrn")
+    # NULL-SAFE on the status key: see window_running — a plain join
+    # would drop NULL-status rows the oracle's window keeps.
+    off_t = offsets.withColumnsRenamed(
+        {"pid": "o_pid", "o_orderstatus": "o_status"}
     )
+    g = ranked.join(
+        F.broadcast(off_t),
+        (F.col("pid") == F.col("o_pid"))
+        & F.col("o_orderstatus").eqNullSafe(F.col("o_status")),
+    ).withColumn("rn", F.col("off") + F.col("lrn"))
     n = F.col("total")
     pct = F.when(n > 1, (F.col("rn") - 1).cast("double") / (n - 1)).otherwise(
         F.lit(0.0)
@@ -658,6 +682,7 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY ts, event_id, value NULLS FIRST
                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
       FROM events
+      WHERE value IS NOT NULL
     )
     """,
 )
@@ -676,7 +701,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform + aggregate). The denominator is the closed-form
     geometric sum (1-0.7^n)/0.3, not a second list pass. Both engines
     round the one float division to 4dp."""
-    e = table(spark, sf_dir, "events")
+    # NULL readings are dropped on BOTH engines before the window: a
+    # null contributes no weight, Spark's collect_list would silently
+    # skip it (shifting weights vs DuckDB's list()), and an all-null
+    # frame makes the closed-form denominator 0 (ANSI divide error,
+    # found by the null-row parity probe). No reading, no smoothed row.
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     # `value` tiebreak: see window_pct_change — EWMA weights depend on
     # sequence position, so collision order must be total.
     w = (
@@ -875,7 +905,14 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
+        # n == 0 (an all-NULL-reading frame) must yield NULL, matching
+        # DuckDB's null-ignoring median — and must be guarded FIRST, or
+        # the even branch's element_at(a, 0) is an ANSI error (found by
+        # the null-row parity probe).
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even)
+        .alias("med7"),
     )
 
 
@@ -945,7 +982,14 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce(F.sum("chunk_total").over(w_prefix), F.lit(0)).alias("off"),
     )
-    return local.join(F.broadcast(offsets), ["pid", "event_type"]).select(
+    # NULL-SAFE on the type key: see window_running — a plain join
+    # would drop NULL-type rows the oracle's window keeps.
+    off_t = offsets.withColumnsRenamed({"pid": "o_pid", "event_type": "o_type"})
+    return local.join(
+        F.broadcast(off_t),
+        (F.col("pid") == F.col("o_pid"))
+        & F.col("event_type").eqNullSafe(F.col("o_type")),
+    ).select(
         "event_type",
         "event_id",
         (F.col("off") + F.col("local_sum")).cast("bigint").alias(

@@ -97,6 +97,53 @@ def test_every_op_survives_null_rows(spark, null_sf_dir):
     assert not failures, failures
 
 
+# The window/sequence family is held to full ORACLE PARITY on the
+# null-row fixture, not just crash-survival: this is where the
+# distributed rewrites can silently diverge from single-window
+# semantics. The null-row parity probe found four real classes, all
+# fixed: (1) the two-phase prefix-sum rewrites DROPPED null-key rows
+# at their broadcast-offset join (null != null) where a window keeps
+# NULL as its own partition group — now null-safe (<=>); (2) the
+# range-frame halo copy double-counted the NULL peer group — no halo
+# for the null bucket; (3) all-null frames made ts_ewma's closed-form
+# denominator 0 (ANSI error) and ts_rolling_median's element_at index
+# 0 — null readings are dropped (ewma, both engines) or guarded to
+# NULL (median); (4) NTILE's engine-default null order differs
+# (Spark NULLS FIRST, DuckDB NULLS LAST) — pinned in the oracle.
+_NULL_PARITY_OPS = [
+    "window_analytic", "window_running", "window_range_frame",
+    "ts_fill_forward", "ts_downsample", "ts_interpolate",
+    "window_pct_change", "ts_ewma", "ts_zscore", "window_funnel",
+    "ts_rolling_median", "window_cumulative_distinct", "window_streaks",
+    "window_sessionize", "window_rank", "window_topk_per_group",
+    "window_ntile", "window_distribution", "agg_argmax",
+    "join_asof", "join_asof_forward",
+]
+
+
+@pytest.fixture(scope="module")
+def null_duck(null_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{null_sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _NULL_PARITY_OPS)
+def test_window_op_null_row_parity(name, spark, null_sf_dir, null_duck):
+    from tools.verify_local import compare
+
+    op = _OPS[name]
+    sdf = op.fn(spark, null_sf_dir).toPandas()
+    ddf = null_duck.execute(op.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
 @pytest.fixture(scope="module")
 def nan_sf_dir(tmp_path_factory, sf_dir) -> str:
     """NaN and ±Inf injected into the double columns (events.value,
