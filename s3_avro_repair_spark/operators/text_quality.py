@@ -149,8 +149,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+        # NULL text -> NULL fingerprint: concat_ws would silently turn
+        # the null token array into '' (md5 of empty = d41d8cd9...),
+        # colliding every missing-text doc into one dedup group, while
+        # the oracle's array_to_string(NULL) null-propagates.
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    " ", F.sort_array(F.array_distinct(F.split("text", " ")))
+                )
+            ),
         ).alias("fingerprint"),
     )
 

@@ -30,7 +30,8 @@ from ..tables import table
     group="U",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 50000 THEN 'low'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 200000 THEN 'mid'
                 ELSE 'high' END AS bucket
     FROM orders
@@ -45,8 +46,12 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins by orders of magnitude; this op exists to cover the API
     surface, not as a pattern to copy.
     """
+    # A row UDF sees raw None (no SQL three-valued logic): the null
+    # branch must be explicit or a NULL price is a TypeError.
     bucket = F.udf(
-        lambda p: "low" if p < 50000 else ("mid" if p < 200000 else "high"),
+        lambda p: None
+        if p is None
+        else ("low" if p < 50000 else ("mid" if p < 200000 else "high")),
         "string",
     )
     o = table(spark, sf_dir, "orders")
@@ -170,11 +175,15 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def keep_heavy(batches):
         for pdf in batches:
             out = pdf[pdf["l_quantity"] > 40]
+            # Int64 (nullable) before str: ANY null in the incoming
+            # batch's int column makes pandas store it as float64, and
+            # astype(str) then prints every row as '1.0' — even rows
+            # the filter kept (null-row parity probe find).
             yield pd.DataFrame(
                 {
-                    "item_key": out["l_orderkey"].astype(str)
+                    "item_key": out["l_orderkey"].astype("Int64").astype(str)
                     + "-"
-                    + out["l_linenumber"].astype(str),
+                    + out["l_linenumber"].astype("Int64").astype(str),
                     "l_quantity": out["l_quantity"],
                 }
             )
@@ -250,6 +259,10 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType="long", useArrow=True)
     def count_long_words(text: str) -> int:
+        # None propagates (the oracle's string_split(NULL) chain is
+        # NULL); a row UDF must branch on it explicitly.
+        if text is None:
+            return None
         return sum(1 for w in text.split(" ") if len(w) > 5)
 
     d = table(spark, sf_dir, "documents")
