@@ -26,8 +26,9 @@ from ..tables import table
            trim(p_name)                    AS name_trim,
            length(p_name)                  AS name_len,
            replace(p_type, 'O', '0')       AS type_replaced,
-           concat(p_brand, '#', p_type)    AS brand_type,
-           split_part(p_name, ' ', 1)      AS first_word
+           p_brand || '#' || p_type        AS brand_type,
+           CASE WHEN p_name IS NULL THEN NULL
+                ELSE split_part(p_name, ' ', 1) END AS first_word
     FROM part
     """,
 )
@@ -431,9 +432,9 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="F",
     oracle="""
     SELECT event_id,
-           CASE WHEN event_id % 9 = 0 THEN NULL
+           CASE WHEN event_id % 9 = 0 OR props IS NULL THEN NULL
                 ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
-           event_id % 9 <> 0 AS parse_ok
+           event_id % 9 <> 0 AND props IS NOT NULL AS parse_ok
     FROM events
     """,
 )

@@ -215,8 +215,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="G",
     oracle="""
     SELECT o_orderstatus,
-           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
-             AS priorities,
+           COALESCE(
+             array_to_string(list_sort(list(DISTINCT o_orderpriority)), ','),
+             '') AS priorities,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
@@ -704,14 +705,20 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two grouped aggregations over the fact + one
     broadcast join — both aggregations partial-aggregate map-side
-    (medians via per-group sort, parallel across groups)."""
+    (medians via per-group sort, parallel across groups). The
+    broadcast-back join is NULL-SAFE (<=>): groupBy keeps NULL as its
+    own group on both engines, so an equi-join here would silently
+    drop that group between the two passes."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     med = li.groupBy("l_returnflag").agg(
         F.median("l_extendedprice").alias("med_price")
-    )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
+    ).withColumnRenamed("l_returnflag", "m_returnflag")
+    dev = li.join(
+        F.broadcast(med),
+        F.col("l_returnflag").eqNullSafe(F.col("m_returnflag")),
+    ).select(
         "l_returnflag",
         "med_price",
         F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("adev"),

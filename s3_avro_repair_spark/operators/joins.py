@@ -430,9 +430,22 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_topk_per_group is the direct formulation; lateralJoin earns
     its place when the inner table expression is not expressible as a
     window — a UDTF call, a range probe, a per-row parameterized
-    scan.)"""
+    scan.)
+
+    The correlation keys are cast to a common type in a PROJECTION
+    below the correlated filter, never inside it: Spark 4.1's
+    decorrelation only recognizes a bare same-type equality, and a
+    cast anywhere in the predicate (explicit, or implicit from dtype
+    drift between table generations) makes it silently drop the
+    correlation — the ORDER BY is eliminated and LIMIT 2 applies
+    GLOBALLY, returning 2 arbitrary rows instead of 2 per outer row.
+    Wrong results, no error, both DataFrame and SQL LATERAL paths."""
     n = table(spark, sf_dir, "nation")
     s = table(spark, sf_dir, "supplier")
+    nk_type = n.schema["n_nationkey"].dataType.simpleString()
+    s = s.select(
+        "s_suppkey", "s_acctbal", F.col("s_nationkey").cast(nk_type).alias("s_nationkey")
+    )
     sub = (
         s.where(F.col("s_nationkey") == F.col("n_nationkey").outer())
         .orderBy(F.desc("s_acctbal"), "s_suppkey")

@@ -207,7 +207,11 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(LEAST(64, (len(text) + 1) // 2) AS BIGINT) AS thumb_len,
+           -- explicit NULL branch: DuckDB LEAST() SKIPS nulls, so
+           -- LEAST(64, NULL) is 64, not NULL
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE LEAST(64, (len(text) + 1) // 2) END
+                AS BIGINT) AS thumb_len,
            md5(string_agg(
              CASE WHEN 1 + 2 * i <= len(text)
                   THEN substr(text, 1 + 2 * i, 1) END,

@@ -518,7 +518,8 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     tri AS (SELECT doc_id,
-             CASE WHEN len(t) >= 3
+             CASE WHEN t IS NULL THEN NULL
+                  WHEN len(t) >= 3
                   THEN list_transform(generate_series(1, len(t)-2),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                   ELSE CAST([] AS VARCHAR[]) END AS tri
@@ -526,7 +527,8 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(tri) AS BIGINT) AS n_tri,
            CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS dup_cnt,
-           CASE WHEN len(tri) > 0
+           CASE WHEN tri IS NULL THEN NULL
+                WHEN len(tri) > 0
                 THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
                 ELSE 0.0 END AS dup_frac
     FROM tri
@@ -573,7 +575,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_tri.alias("n_tri"),
         dup.alias("dup_cnt"),
-        F.when(n_tri > 0, dup.cast("double") / n_tri)
+        # NULL text (tri NULL) must null-propagate, not fall into the
+        # zero-trigram branch — otherwise(0.0) would swallow it.
+        F.when(F.col("tri").isNull(), F.lit(None).cast("double"))
+        .when(n_tri > 0, dup.cast("double") / n_tri)
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )

@@ -148,7 +148,7 @@ def _read_stream(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
     SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS start_epoch,
            event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +173,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="T",
     oracle="""
     WITH s AS (SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS a
-               FROM events)
+               FROM events WHERE ts IS NOT NULL)
     SELECT a - k.k * 21600 AS start_epoch, COUNT(*) AS n
     FROM s, (VALUES (0), (1), (2), (3)) k(k)
     GROUP BY 1
@@ -199,7 +199,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     g AS (
@@ -332,10 +332,15 @@ def stream_stateful_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (user_id,) = key
         n, first, last = state.get if state.exists else (0, None, None)
         for pdf in pdf_iter:
-            ms = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            # count every row, but mask missing timestamps BEFORE the
+            # int64 cast — NaT.astype(int64) is Long.MinValue, which
+            # would poison min/max (SQL MIN/MAX skip NULLs).
             n += len(pdf)
-            first = int(ms.min()) if first is None else min(first, int(ms.min()))
-            last = int(ms.max()) if last is None else max(last, int(ms.max()))
+            ts = pdf["ts"][pdf["ts"].notna()]
+            if len(ts):
+                ms = ts.astype("datetime64[ns]").astype("int64") // 1_000_000
+                first = int(ms.min()) if first is None else min(first, int(ms.min()))
+                last = int(ms.max()) if last is None else max(last, int(ms.max()))
         state.update((n, first, last))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "first_ms": [first], "last_ms": [last]}

@@ -87,9 +87,14 @@ def null_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(tmp)
 
 
-def test_every_op_survives_null_rows(spark, null_sf_dir):
+# Every oracle-checked op is held to full ORACLE PARITY on the
+# null-row fixture (test below); parity implies crash-survival, so
+# the survival sweep only needs to cover the rows-only ops.
+def test_rows_only_ops_survive_null_rows(spark, null_sf_dir):
     failures = []
     for name, op in _OPS.items():
+        if op.oracle is not None:
+            continue
         try:
             op.fn(spark, null_sf_dir).count()
         except Exception as exc:
@@ -97,28 +102,32 @@ def test_every_op_survives_null_rows(spark, null_sf_dir):
     assert not failures, failures
 
 
-# The window/sequence family is held to full ORACLE PARITY on the
-# null-row fixture, not just crash-survival: this is where the
-# distributed rewrites can silently diverge from single-window
-# semantics. The null-row parity probe found four real classes, all
-# fixed: (1) the two-phase prefix-sum rewrites DROPPED null-key rows
-# at their broadcast-offset join (null != null) where a window keeps
-# NULL as its own partition group — now null-safe (<=>); (2) the
-# range-frame halo copy double-counted the NULL peer group — no halo
-# for the null bucket; (3) all-null frames made ts_ewma's closed-form
-# denominator 0 (ANSI error) and ts_rolling_median's element_at index
-# 0 — null readings are dropped (ewma, both engines) or guarded to
-# NULL (median); (4) NTILE's engine-default null order differs
-# (Spark NULLS FIRST, DuckDB NULLS LAST) — pinned in the oracle.
-_NULL_PARITY_OPS = [
-    "window_analytic", "window_running", "window_range_frame",
-    "ts_fill_forward", "ts_downsample", "ts_interpolate",
-    "window_pct_change", "ts_ewma", "ts_zscore", "window_funnel",
-    "ts_rolling_median", "window_cumulative_distinct", "window_streaks",
-    "window_sessionize", "window_rank", "window_topk_per_group",
-    "window_ntile", "window_distribution", "agg_argmax",
-    "join_asof", "join_asof_forward",
-]
+# FULL-SURFACE null-row parity: op vs oracle on the dirty fixture,
+# cell-exact. Started as a window-family gate (the distributed
+# rewrites are where single-window semantics silently diverge); the
+# full-surface probe then found ten more classes, all fixed:
+# (1) prefix-sum rewrites DROPPED null-key rows at their
+# broadcast-offset join (null != null) where a window keeps NULL as
+# its own partition group — now null-safe (<=>), same bug again in
+# agg_mad's median broadcast-back; (2) the range-frame halo copy
+# double-counted the NULL peer group; (3) all-null frames: ts_ewma
+# denominator 0, ts_rolling_median element_at 0 index; (4) NTILE
+# engine-default null order differs (pinned in oracle); (5) row
+# UDFs see raw None — no three-valued logic — and crash or need an
+# explicit branch (udf_python, udf_python_arrow); (6) pandas dtype
+# traps: a null in an int batch column flips it to float64 and
+# astype(str) prints '1.0' (udtf_map_in_pandas), NaT.astype(int64)
+# is Long.MinValue and poisons min/max (stream_stateful_agg);
+# (7) Spark's window()/session_window() DROP null event-times where
+# a GROUP BY keeps the NULL group — oracles filter ts IS NOT NULL;
+# (8) DuckDB builtins that swallow NULL where Spark propagates:
+# concat() skips nulls ('||' doesn't), LEAST() skips nulls,
+# split_part(NULL) returns ''; (9) aggregates of an all-null group:
+# Spark collect_set gives [], DuckDB list() gives NULL; (10) a CAST
+# in a correlated lateral predicate (dtype drift between tables)
+# makes Spark 4.1 silently decorrelate WRONG — ORDER BY eliminated,
+# LIMIT applied globally (join_lateral pre-casts below the filter).
+_NULL_PARITY_SKIP = frozenset()
 
 
 @pytest.fixture(scope="module")
@@ -133,10 +142,14 @@ def null_duck(null_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", _NULL_PARITY_OPS)
-def test_window_op_null_row_parity(name, spark, null_sf_dir, null_duck):
+@pytest.mark.parametrize(
+    "name", [n for n, op in _OPS.items() if op.oracle is not None]
+)
+def test_null_row_parity(name, spark, null_sf_dir, null_duck):
     from tools.verify_local import compare
 
+    if name in _NULL_PARITY_SKIP:
+        pytest.skip("enumerated null-parity exception")
     op = _OPS[name]
     sdf = op.fn(spark, null_sf_dir).toPandas()
     ddf = null_duck.execute(op.oracle).fetchdf()
