@@ -340,6 +340,10 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    out_schema = pa.schema(
+        [("l_orderkey", pa.int64()), ("double_qty", pa.float64())]
+    )
+
     def double_qty(batches):
         for batch in batches:
             t = pa.Table.from_batches([batch])
@@ -349,7 +353,11 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_orderkey": t["l_orderkey"],
                     "double_qty": pc.multiply(t["l_quantity"], 2.0),
                 }
-            )
+            # unlike the pandas boundary, mapInArrow does NOT coerce
+            # the kernel's output to the declared schema — an int32
+            # source generation crashes Spark's getLong reader unless
+            # the kernel casts to what it declared
+            ).cast(out_schema)
             for b in out.to_batches():
                 yield b
 
