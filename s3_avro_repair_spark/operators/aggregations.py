@@ -508,8 +508,8 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           ROUND(regr_slope(value, hrs), 4) AS slope,
-           ROUND(regr_intercept(value, hrs), 4) AS intercept,
+           ROUND(regr_slope(value, hrs), 4) + 0 AS slope,
+           ROUND(regr_intercept(value, hrs), 4) + 0 AS intercept,
            regr_count(value, hrs) AS n
     FROM x
     GROUP BY user_id
@@ -527,7 +527,11 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle for the min-ts window, reused by the aggregate (same
     user_id partitioning). The trend behind per-tenant usage-growth
-    dashboards, at any entity cardinality."""
+    dashboards, at any entity cardinality. `+ 0` after the round on
+    both engines normalizes IEEE signed zero (ts_zscore's rule): a
+    flat-trend entity rounds to slope +/-0.0 depending on summation
+    order, and the calendar-edge sweep's midnight tie-storms produce
+    exactly such entities."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     us = F.unix_micros(F.col("ts"))
@@ -537,8 +541,10 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((us - F.min(us).over(w)) / F.lit(3600000000.0)).alias("hrs"),
     )
     return x.groupBy("user_id").agg(
-        F.round(F.regr_slope("value", "hrs"), 4).alias("slope"),
-        F.round(F.regr_intercept("value", "hrs"), 4).alias("intercept"),
+        (F.round(F.regr_slope("value", "hrs"), 4) + F.lit(0)).alias("slope"),
+        (F.round(F.regr_intercept("value", "hrs"), 4) + F.lit(0)).alias(
+            "intercept"
+        ),
         F.regr_count("value", "hrs").alias("n"),
     )
 

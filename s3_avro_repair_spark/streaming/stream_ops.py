@@ -209,7 +209,9 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS grp
       FROM o
     )
-    SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS session_start_ms,
+    SELECT user_id,
+           CAST(floor(epoch_us(MIN(ts)) / 1000.0) AS BIGINT)
+             AS session_start_ms,
            COUNT(*) AS n_events
     FROM g GROUP BY user_id, grp
     """,
@@ -217,7 +219,14 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute gap. The batch oracle
     is the classic gap-islands rewrite (lag + running sum of breaks) —
-    semantically identical to ``session_window`` merging."""
+    semantically identical to ``session_window`` merging.
+
+    The oracle derives milliseconds as ``floor(epoch_us/1000)``, not
+    ``epoch_ms``: Spark's ``unix_millis`` FLOORS micros toward
+    -infinity while DuckDB's ``epoch_ms`` truncates toward zero — the
+    two agree on every post-1970 timestamp and differ by exactly 1ms
+    on pre-epoch ones with sub-millisecond parts (caught by the
+    calendar-edge sweep's 1964 arm)."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -238,7 +247,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WM_ORACLE = """
     WITH w AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT)
                  AS start_epoch, COUNT(*) AS n
-               FROM events GROUP BY 1),
+               FROM events
+               WHERE CAST(epoch(date_trunc('day', ts)) AS BIGINT)
+                     + 86400 > 0
+               GROUP BY 1),
     g AS (SELECT epoch(MAX(ts)) - 3600 AS wm FROM events)
     SELECT start_epoch, n FROM w, g WHERE start_epoch + 86400 <= wm
 """
@@ -261,7 +273,15 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the sink. The oracle encodes exactly that: all day-windows
     except those the final watermark hasn't closed. The layout
     guarantees single emission: no late file touches a window that an
-    earlier batch's watermark already closed."""
+    earlier batch's watermark already closed.
+
+    One more measured boundary (calendar-edge sweep): Spark's INITIAL
+    watermark is epoch 0, so PRE-1970 event times are late before the
+    first row arrives — every window ending at or before 1970-01-01
+    is silently dropped. The oracle's ``start_epoch + 86400 > 0``
+    guard mirrors that engine floor (a no-op on in-range fixtures);
+    archive backfills with pre-epoch event times must be batch jobs,
+    not watermarked streams."""
     root = ensure_stream_dirs(sf_dir)
     name = f"wm_{uuid.uuid4().hex[:8]}"
     counts = (
@@ -276,11 +296,11 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_ORACLE = """
-    WITH t AS (SELECT event_type,
+    WITH t AS (SELECT event_type, ts,
                       NTILE(10) OVER (ORDER BY ts, event_id) AS tile
                FROM events)
     SELECT event_type, COUNT(*) AS n
-    FROM t WHERE tile <= 7 OR tile = 10 GROUP BY 1
+    FROM t WHERE (tile <= 7 OR tile = 10) AND epoch(ts) >= 0 GROUP BY 1
 """
 
 
@@ -291,7 +311,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store drops every duplicate. The surviving multiset is
     arrival-order-INVARIANT, so this streaming op still hash-checks
     against exact SQL (the NTILE split the stream files were built
-    from)."""
+    from). The oracle's ``epoch(ts) >= 0`` guard mirrors the engine's
+    initial watermark of epoch 0: pre-1970 event times are below the
+    watermark before any data arrives and are dropped on ingest
+    (measured by the calendar-edge sweep; no-op on in-range data)."""
     root = ensure_stream_dirs(sf_dir)
     name = f"dd_{uuid.uuid4().hex[:8]}"
     deduped = (
@@ -312,8 +335,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="T",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
-           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+           CAST(floor(epoch_us(MIN(ts)) / 1000.0) AS BIGINT) AS first_ms,
+           CAST(floor(epoch_us(MAX(ts)) / 1000.0) AS BIGINT) AS last_ms
     FROM events GROUP BY user_id
     """,
 )
