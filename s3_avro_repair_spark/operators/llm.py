@@ -496,7 +496,7 @@ _COSINE_SQL_CTE = """
              SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
       FROM un GROUP BY pid, id_a, id_b
     )
-    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) AS cosine
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 4) + 0 AS cosine
     FROM dots
 """
 
@@ -530,7 +530,9 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(20n), never O(n^2); the equi-join on label is an ordinary hash
     join. Dot products run in the JVM via zip_with/aggregate HOFs over
     the float arrays; rounded to 4dp so cross-engine double summation
-    order can't flip the hash."""
+    order can't flip the hash, and `+ 0` after the round normalizes
+    IEEE signed zero (the skew sweep's hot label pairs unrelated
+    vectors whose cosine rounds to +/-0.0 — ts_zscore's rule)."""
     en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
     a = en.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
@@ -547,7 +549,9 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("id_b") - F.col("id_a") <= 20),
     )
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
-    return pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    return pairs.select(
+        "id_a", "id_b", (F.round(cos, 4) + F.lit(0)).alias("cosine")
+    )
 
 
 _KNN_SQL = """
