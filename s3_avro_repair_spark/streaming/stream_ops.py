@@ -80,10 +80,13 @@ def ensure_stream_dirs(sf_dir: str) -> str:
     os.makedirs(tmp)
     try:
         con = duckdb.connect()
-        con.execute(
-            "CREATE TEMP TABLE t AS "
-            + _TILE_SQL.format(src=f"{sf_dir}/events.parquet")
-        )
+        # A table is one file at fixture scale and a DIRECTORY of parts
+        # at production scale — glob when the path is a dir so the
+        # microbatch builder is layout-agnostic (multi-file sweep).
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute("CREATE TEMP TABLE t AS " + _TILE_SQL.format(src=src))
         cols = "event_id, ts, user_id, event_type, value, props"
         parts = {
             "f0.parquet": f"SELECT {cols} FROM t WHERE tile <= 7",

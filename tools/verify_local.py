@@ -28,11 +28,20 @@ TABLES = [
 ]
 
 
+def table_source(sf_dir: str, t: str) -> str:
+    """DuckDB-readable source for a table: the single fixture file, or
+    a glob when ``{t}.parquet`` is a DIRECTORY of part files (the
+    multi-file layout sweep; Spark reads either shape natively)."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{table_source(sf_dir, t)}')"
         )
     return con
 
