@@ -211,7 +211,7 @@ def ensure_text_fixtures(sf_dir: str) -> str:
     from .avro_pipeline import _CACHE_ROOT
 
     root = os.path.join(
-        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_text_v1"
+        _CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_text_v2"
     )
     if os.path.isdir(root):
         return root
@@ -231,6 +231,13 @@ def ensure_text_fixtures(sf_dir: str) -> str:
             .to_pandas()
             .sort_values("c_custkey")
         )
+        # CSV is POSITION-addressed: the extract pins its column order
+        # instead of inheriting the source table's physical order — a
+        # reordered or widened upstream generation must not change the
+        # bytes this rendition emits (column-evolution sweep find).
+        cust = cust[
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        ]
         cust.to_csv(os.path.join(tmp, "customer.csv"), index=False)
         try:
             os.rename(tmp, root)
@@ -280,12 +287,19 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group statistics and NO column projection — the filter cannot
     push below the parse, every byte is read. The docstring contrast
     with scan_parquet's PushedFilters IS the lesson; hash parity
-    proves the text round-trip (quotes, floats) is exact."""
+    proves the text round-trip (quotes, floats) is exact.
+
+    ``enforceSchema=false`` makes the reader VALIDATE the header
+    against the declared schema and fail loudly on mismatch — the
+    default silently zips schema to columns by position, which turns
+    an upstream column reorder into garbage values, not an error
+    (column-evolution sweep)."""
     root = ensure_text_fixtures(sf_dir)
     df = (
         spark.read.option("header", True)
         .option("quote", '"')
         .option("escape", '"')
+        .option("enforceSchema", False)
         .schema(
             "c_custkey long, c_name string, c_nationkey long, "
             "c_acctbal double, c_mktsegment string"
