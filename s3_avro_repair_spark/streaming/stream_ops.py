@@ -303,7 +303,10 @@ _DEDUP_ORACLE = """
                       NTILE(10) OVER (ORDER BY ts, event_id) AS tile
                FROM events)
     SELECT event_type, COUNT(*) AS n
-    FROM t WHERE (tile <= 7 OR tile = 10) AND epoch(ts) >= 0 GROUP BY 1
+    FROM t WHERE (tile <= 7 OR tile = 10)
+      AND (ts IS NULL OR epoch(ts) >= 0)  -- pre-epoch dropped (initial
+      -- watermark 0); NULL event-times pass through (null-row sweep)
+    GROUP BY 1
 """
 
 

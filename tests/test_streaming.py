@@ -233,3 +233,62 @@ def test_avro_ingest_stream_equals_batch(spark, sf_dir):
     _stream_to_memory(sdf.writeStream.outputMode("complete"), name)
     got = spark.table(name).toPandas()
     assert _sorted_records(got) == _sorted_records(batch)
+
+
+def test_checkpoint_restart_exactly_once(spark, stream_root, tmp_path):
+    """Checkpoint recovery — the operational guarantee a production
+    stream actually runs on: a query stopped and restarted from its
+    checkpoint must (a) restore the state store, so rows RE-DELIVERED
+    after the restart that were first seen before it still dedup;
+    (b) not reprocess files the pre-restart run already committed;
+    (c) leave the file sink exactly-once via its commit log, so a
+    third restart with no new input changes nothing.
+
+    Three availableNow runs of ONE logical query (same checkpoint):
+      run 1: f0 only                    -> baseline rows
+      run 2: +replay (re-delivers 40 f0 rows) +f1 -> only f1's new
+             ids may append; the 40 replayed ids are in RESTORED state
+      run 3: no new files               -> sink byte-identical
+    """
+    import shutil
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    shutil.copy(os.path.join(stream_root, "f0.parquet"), src / "a.parquet")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).toPandas()
+
+    first = run_once()
+    f0 = pd.read_parquet(os.path.join(stream_root, "f0.parquet"))
+    assert _sorted_records(first) == _sorted_records(
+        f0.drop_duplicates("event_id")
+    )
+
+    # Between runs: exact re-delivery of 40 already-seen rows plus the
+    # genuinely new f1 file.
+    f0.head(40).to_parquet(src / "replay.parquet", index=False)
+    shutil.copy(os.path.join(stream_root, "f1.parquet"), src / "b.parquet")
+
+    second = run_once()
+    f1 = pd.read_parquet(os.path.join(stream_root, "f1.parquet"))
+    expected = pd.concat([f0, f1]).drop_duplicates("event_id")
+    assert _sorted_records(second) == _sorted_records(expected)
+
+    third = run_once()
+    assert _sorted_records(third) == _sorted_records(second)
