@@ -212,7 +212,7 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(embedding)                                  AS dim,
            embedding[1]                                    AS first_elem,
            round((SELECT SUM(CAST(e AS DOUBLE))
-                  FROM UNNEST(embedding) AS t(e)), 4)      AS elem_sum
+                  FROM UNNEST(embedding) AS t(e)), 4) + 0  AS elem_sum
     FROM embeddings
     """,
 )
@@ -223,13 +223,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
-        F.round(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double"),
-            ),
-            4,
+        (
+            F.round(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                4,
+            )
+            + F.lit(0)  # signed-zero normalization (ts_zscore's rule):
+            # a 1e-8-scale vector's sum rounds to +/-0.0 (magnitude sweep)
         ).alias("elem_sum"),
     )
 
