@@ -59,7 +59,13 @@ def _sim_pairs(spark: SparkSession, sf_dir: str, thr: float = 0.35) -> DataFrame
     """Undirected similarity edges (id_a < id_b), the Spark twin of
     ``_pairs_cte``: label-blocked + id-banded candidate generation,
     cosine >= thr — bounded pairs, never all-pairs. Shared by
-    graph_pagerank and graph_triangles."""
+    graph_pagerank and graph_triangles.
+
+    The final ``distinct()`` makes the edge set a SIMPLE graph, the
+    twin of the oracle's UNION-distinct edges CTE: re-delivered
+    embedding rows (at-least-once ingest) would otherwise produce
+    multi-edges that inflate degrees, PageRank mass, and triangle
+    counts (production-shard find — n_tri 222 vs 1 on one node)."""
     from .llm import _norm
 
     dot = (
@@ -89,6 +95,7 @@ def _sim_pairs(spark: SparkSession, sf_dir: str, thr: float = 0.35) -> DataFrame
         )
         .filter(cos >= thr)
         .select("id_a", "id_b")
+        .distinct()
     )
 
 
@@ -310,7 +317,9 @@ def _triangles_oracle() -> str:
                   THEN p.id_b ELSE p.id_a END AS dst,
              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.id_a < p.id_b)
                   THEN db.deg ELSE da.deg END AS ddeg
-      FROM pairs p
+      FROM (SELECT DISTINCT id_a, id_b FROM pairs) p  -- simple graph:
+      -- re-delivered vectors must not orient an edge twice (the edges
+      -- CTE already dedups; production-shard find)
       JOIN deg da ON da.src = p.id_a
       JOIN deg db ON db.src = p.id_b
     ),

@@ -104,9 +104,9 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="L",
     oracle="""
     SELECT doc_id, i AS frame_no,
-           md5(substring(text, 1 + i * 16, 16)) AS frame_md5
+           md5(substring(hex(encode(text)), 1 + i * 16, 16)) AS frame_md5
     FROM documents, generate_series(0, 2) AS g(i)
-    WHERE octet_length(encode(text)) >= (i + 1) * 16
+    WHERE length(hex(encode(text))) >= (i + 1) * 16
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,10 +114,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows ("frames") out of the byte stream inside mapInPandas and
     fingerprint each. One input row fans out to N frame rows — the
     iterator-of-batches contract handles the fan-out without
-    materializing a partition. Fixture text is pure ASCII so byte and
-    char offsets agree with the SQL oracle."""
+    materializing a partition. The stand-in blob is the HEX rendition
+    of the text bytes — pure ASCII by construction, so the kernel's
+    BYTE offsets equal the oracle's char offsets on ANY corpus (the
+    production-shard sweep's unicode documents broke the old
+    raw-UTF-8 stand-in: a 16-byte frame can split a codepoint, which
+    no VARCHAR oracle can hash). A real video blob replaces the hex
+    derivation only; the byte-window kernel is unchanged."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob")
+        "doc_id",
+        F.encode(F.hex(F.encode("text", "UTF-8")), "UTF-8").alias("blob"),
     )
     frame, nframes = 16, 3
 
@@ -148,14 +154,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_window",
     group="L",
     oracle="""
+    WITH d AS (SELECT doc_id, text, row_number() OVER () AS rid
+               FROM documents)
     SELECT doc_id, w AS window_no,
-           CAST(SUM(ascii(substring(text, w * 32 + i + 1, 1))
-                    * ascii(substring(text, w * 32 + i + 1, 1))) AS BIGINT)
-             AS energy
-    FROM documents, generate_series(0, 3) AS gw(w),
-                    generate_series(0, 31) AS gi(i)
-    WHERE LENGTH(text) >= (w + 1) * 32
-    GROUP BY doc_id, w
+           CAST(SUM(ascii(substring(hex(encode(text)), w * 32 + i + 1, 1))
+                    * ascii(substring(hex(encode(text)), w * 32 + i + 1, 1)))
+                AS BIGINT) AS energy
+    FROM d, generate_series(0, 3) AS gw(w),
+            generate_series(0, 31) AS gi(i)
+    WHERE length(hex(encode(text))) >= (w + 1) * 32
+    -- grouped per physical ROW (rid), not per doc_id: re-delivered
+    -- rows each emit their own windows, as the per-row kernel does
+    GROUP BY rid, doc_id, w
     """,
 )
 def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +176,15 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches (``frombuffer`` -> square -> reshape-sum: no Python loop
     per sample), which is exactly how a real audio featurizer runs on
     a cluster; a production decoder (soundfile/ffmpeg) replaces the
-    frombuffer line only. Fixture text is pure ASCII so the byte
-    values equal the oracle's ascii() codes."""
+    frombuffer line only. The stand-in blob is the HEX rendition of
+    the text bytes — pure ASCII by construction, so every byte value
+    equals the oracle's ascii() code on ANY corpus (unicode-safe;
+    see mm_frame_sample)."""
     import numpy as np
 
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob")
+        "doc_id",
+        F.encode(F.hex(F.encode("text", "UTF-8")), "UTF-8").alias("blob"),
     )
     win, nwin = 32, 4
 
@@ -205,19 +218,23 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize",
     group="L",
     oracle="""
+    WITH d AS (SELECT doc_id, text, row_number() OVER () AS rid
+               FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(hex(encode(text))) AS BIGINT) AS n_bytes,
            -- explicit NULL branch: DuckDB LEAST() SKIPS nulls, so
            -- LEAST(64, NULL) is 64, not NULL
            CAST(CASE WHEN text IS NULL THEN NULL
-                     ELSE LEAST(64, (len(text) + 1) // 2) END
-                AS BIGINT) AS thumb_len,
+                     ELSE LEAST(64, (length(hex(encode(text))) + 1) // 2)
+                END AS BIGINT) AS thumb_len,
            md5(string_agg(
-             CASE WHEN 1 + 2 * i <= len(text)
-                  THEN substr(text, 1 + 2 * i, 1) END,
+             CASE WHEN 1 + 2 * i <= length(hex(encode(text)))
+                  THEN substr(hex(encode(text)), 1 + 2 * i, 1) END,
              '' ORDER BY i)) AS thumb_md5
-    FROM documents, generate_series(0, 63) AS g(i)
-    GROUP BY doc_id, text
+    FROM d, generate_series(0, 63) AS g(i)
+    -- grouped per physical ROW (rid): a re-delivered document thumbs
+    -- twice, exactly as the per-row kernel emits
+    GROUP BY rid, doc_id, text
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,13 +244,15 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same mapInPandas) would take, with a deterministic stand-in
     kernel so the result hash-checks against pure SQL (fixed-bound
     generate_series + ordered string_agg reconstructs the identical
-    byte selection; ASCII fixture text keeps byte == char).
+    byte selection; the HEX-rendition stand-in blob keeps byte == char
+    on ANY corpus — see mm_frame_sample).
 
     Per-row Arrow-batched transform, no shuffle; at 100 TB the resize
     rides the scan and output size is capped per row by construction —
     the thumbnail column is safely collectible downstream."""
     d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob")
+        "doc_id",
+        F.encode(F.hex(F.encode("text", "UTF-8")), "UTF-8").alias("blob"),
     )
 
     def resize(batches):

@@ -338,12 +338,15 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     so one status SPANS many tasks, row_number locally within
     (task, status), then add per-(task, status) prefix counts — a
     <= tasks x statuses row side table, broadcast back — to recover
-    the exact global rank and per-status total. The order key is
-    unique, so rank == row_number, and both distribution functions are
-    closed forms of it: pct_rank = (rn-1)/(n-1), cume = rn/n — the
-    identical integer-operand double divisions DuckDB's
-    PERCENT_RANK/CUME_DIST perform, so the hashes match bit-exactly.
-    Every heavy stage is parallel; this survives 100x."""
+    the exact global row_number and per-status total. Both
+    distribution functions are TIE-AWARE closed forms over the peer
+    group (rows equal on the whole sort key, which duplicate ingest
+    makes non-singleton): pct_rank = (min_rn-1)/(n-1), cume =
+    max_rn/n — the identical integer-operand double divisions
+    DuckDB's PERCENT_RANK/CUME_DIST perform, so the hashes match
+    bit-exactly. The peer window rides the range partitioning (equal
+    keys share a task), so it costs no exchange. Every heavy stage is
+    parallel; this survives 100x."""
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -382,14 +385,26 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pid") == F.col("o_pid"))
         & F.col("o_orderstatus").eqNullSafe(F.col("o_status")),
     ).withColumn("rn", F.col("off") + F.col("lrn"))
-    n = F.col("total")
-    pct = F.when(n > 1, (F.col("rn") - 1).cast("double") / (n - 1)).otherwise(
-        F.lit(0.0)
+    # TIE-AWARE closed forms (production-shard find): duplicate-ingest
+    # rows make (price, key) non-unique, and PERCENT_RANK gives every
+    # peer the MIN row_number of its group while CUME_DIST counts
+    # rows <= peer group (the MAX). Peers share their full sort key,
+    # so the range partitioner co-locates them in one pid and this
+    # peer window rides the existing sort — no new exchange.
+    w_peer = Window.partitionBy(
+        "pid", "o_orderstatus", "o_totalprice", "o_orderkey"
     )
+    g = g.withColumn("rank", F.min("rn").over(w_peer)).withColumn(
+        "peer_hi", F.max("rn").over(w_peer)
+    )
+    n = F.col("total")
+    pct = F.when(
+        n > 1, (F.col("rank") - 1).cast("double") / (n - 1)
+    ).otherwise(F.lit(0.0))
     return g.select(
         "o_orderkey",
         F.round(pct, 6).alias("pct_rank"),
-        F.round(F.col("rn").cast("double") / n, 6).alias("cume"),
+        F.round(F.col("peer_hi").cast("double") / n, 6).alias("cume"),
     )
 
 
@@ -565,6 +580,8 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN gapped IS NOT NULL THEN gapped
                 WHEN prev_val IS NULL THEN next_val
                 WHEN next_val IS NULL THEN prev_val
+                WHEN next_us = prev_us
+                  THEN ROUND((prev_val + next_val) / 2.0, 4)
                 ELSE ROUND(prev_val + (next_val - prev_val)
                            * (us - prev_us) / (next_us - prev_us), 4)
            END AS filled_value
@@ -616,12 +633,21 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
         F.col("us") - F.col("prev_us")
     ) / (F.col("next_us") - F.col("prev_us"))
+    # Zero-span bracket (both neighbors at the SAME microsecond — the
+    # clock-collision / midnight-tie shape): the interpolation weight
+    # is 0/0, which ANSI Spark raises on and DuckDB NaNs. Define the
+    # fill as the neighbors' average on BOTH engines — symmetric, and
+    # the only choice independent of tie interleaving.
     return n.select(
         "event_id",
         "user_id",
         F.when(F.col("gapped").isNotNull(), F.col("gapped"))
         .when(F.col("prev_val").isNull(), F.col("next_val"))
         .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .when(
+            F.col("next_us") == F.col("prev_us"),
+            F.round((F.col("prev_val") + F.col("next_val")) / 2.0, 4),
+        )
         .otherwise(F.round(interp, 4))
         .alias("filled_value"),
     )

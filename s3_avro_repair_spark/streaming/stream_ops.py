@@ -299,10 +299,10 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_ORACLE = """
-    WITH t AS (SELECT event_type, ts,
+    WITH t AS (SELECT event_id, event_type, ts,
                       NTILE(10) OVER (ORDER BY ts, event_id) AS tile
                FROM events)
-    SELECT event_type, COUNT(*) AS n
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
     FROM t WHERE (tile <= 7 OR tile = 10)
       AND (ts IS NULL OR epoch(ts) >= 0)  -- pre-epoch dropped (initial
       -- watermark 0); NULL event-times pass through (null-row sweep)
