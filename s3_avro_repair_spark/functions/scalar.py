@@ -285,7 +285,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="F",
     oracle="""
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_value
+           -- json_valid guard: DuckDB json_extract ERRORS on malformed
+           -- input ('' included) where Spark get_json_object is NULL —
+           -- the permissive per-row behavior is the 100 TB contract
+           CASE WHEN props IS NULL OR NOT json_valid(props) THEN NULL
+                ELSE TRY_CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_value
     FROM events
     """,
 )
@@ -436,9 +441,11 @@ def fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="F",
     oracle="""
     SELECT event_id,
-           CASE WHEN event_id % 9 = 0 OR props IS NULL THEN NULL
+           CASE WHEN event_id % 9 = 0 OR props IS NULL
+                  OR NOT json_valid(props) THEN NULL
                 ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
-           event_id % 9 <> 0 AND props IS NOT NULL AS parse_ok
+           event_id % 9 <> 0 AND props IS NOT NULL
+             AND json_valid(props) AS parse_ok
     FROM events
     """,
 )

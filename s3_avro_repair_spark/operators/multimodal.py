@@ -227,10 +227,14 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN text IS NULL THEN NULL
                      ELSE LEAST(64, (length(hex(encode(text))) + 1) // 2)
                 END AS BIGINT) AS thumb_len,
-           md5(string_agg(
+           -- COALESCE to '': an EMPTY (non-NULL) blob thumbs to
+           -- md5('') on the kernel side; all-NULL string_agg would
+           -- wrongly yield NULL (degenerate-strings sweep)
+           md5(CASE WHEN text IS NULL THEN NULL
+                    ELSE COALESCE(string_agg(
              CASE WHEN 1 + 2 * i <= length(hex(encode(text)))
                   THEN substr(hex(encode(text)), 1 + 2 * i, 1) END,
-             '' ORDER BY i)) AS thumb_md5
+             '' ORDER BY i), '') END) AS thumb_md5
     FROM d, generate_series(0, 63) AS g(i)
     -- grouped per physical ROW (rid): a re-delivered document thumbs
     -- twice, exactly as the per-row kernel emits
