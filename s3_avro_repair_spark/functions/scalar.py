@@ -333,13 +333,19 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_orderkey & 255 AS low_byte,
            l_orderkey | 1 AS set_low,
            xor(l_orderkey, l_partkey) AS xored,
-           l_orderkey << 2 AS shifted
+           -- shift the MASKED operand: DuckDB refuses to left-shift a
+           -- negative number while the JVM wraps (negative-keys sweep)
+           (l_orderkey & 255) << 2 AS shifted
     FROM lineitem
     """,
 )
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise AND/OR/XOR/shift — the bit-twiddling layer under
-    dedup_simhash's banding and any hand-rolled bucketing."""
+    dedup_simhash's banding and any hand-rolled bucketing. The shift
+    operand is masked non-negative first: DuckDB raises on
+    left-shifting a negative number while the JVM wraps two's
+    complement — masking is the only shift contract that is exact on
+    both engines for any key sign."""
     li = table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -347,7 +353,7 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
         F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("set_low"),
         F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xored"),
-        F.expr("shiftleft(l_orderkey, 2)").alias("shifted"),
+        F.expr("shiftleft(l_orderkey & 255, 2)").alias("shifted"),
     )
 
 

@@ -552,7 +552,11 @@ MIXED_READER_SCHEMA = {
     group="E",
     oracle=f"""
     SELECT o_orderkey, o_totalprice,
-           CASE WHEN o_orderkey % 8 >= {N_FILES // 2} THEN o_orderstatus
+           -- floor-mod: the generator buckets with numpy % (sign of
+           -- DIVISOR); SQL % follows the dividend and flips on
+           -- negative keys (negative-keys sweep)
+           CASE WHEN ((o_orderkey % 8) + 8) % 8 >= {N_FILES // 2}
+                THEN o_orderstatus
                 ELSE 'NA' END AS o_orderstatus
     FROM orders WHERE {ORDERS_CLEAN_WHERE}
     """,
@@ -865,7 +869,7 @@ def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avro_stats",
     group="E",
     oracle=f"""
-    SELECT CAST(o_orderkey % 8 AS BIGINT) AS file_idx,
+    SELECT CAST(((o_orderkey % 8) + 8) % 8 AS BIGINT) AS file_idx,
            COUNT(*) AS n_records,
            CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_blocks
     FROM orders WHERE {ORDERS_CLEAN_WHERE} GROUP BY 1
@@ -956,11 +960,14 @@ def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avro_schema_report",
     group="E",
     oracle=f"""
-    SELECT CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+    SELECT CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
+                     < {N_FILES // 2}
                 THEN 'gen1' ELSE 'gen2' END AS generation,
-           CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+           CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
+                     < {N_FILES // 2}
                 THEN 'null' ELSE 'snappy' END AS codec,
-           CASE WHEN o_orderkey % {N_FILES} < {N_FILES // 2}
+           CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
+                     < {N_FILES // 2}
                 THEN 3 ELSE 5 END AS n_fields,
            CAST({N_FILES // 2} AS BIGINT) AS n_files,
            COUNT(*) AS n_records
