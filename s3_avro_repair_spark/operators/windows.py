@@ -954,8 +954,13 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type, event_id,
+           -- first_seen is the FINAL tiebreak: true duplicate rows
+           -- (same ts AND event_id) are identical except for the
+           -- derived flag, and without ordering on it the running sum
+           -- at the tied pair is {c-1,c} or {c,c} by interleaving —
+           -- on BOTH engines (production-shard flake)
            CAST(SUM(first_seen) OVER (PARTITION BY event_type
-                                      ORDER BY ts, event_id
+                                      ORDER BY ts, event_id, first_seen
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS distinct_users_so_far
     FROM flagged
@@ -989,9 +994,14 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = flagged.repartitionByRange(
         16, "event_type", "ts", "event_id"
     ).withColumn("pid", F.spark_partition_id())
+    # first_seen as the FINAL tiebreak: true duplicate rows share
+    # (ts, event_id) and differ ONLY in the derived flag — without it
+    # the tied pair's running sums depend on interleaving (both
+    # engines; caught as a production-shard flake). The range keys
+    # stay (type, ts, event_id): duplicates co-locate regardless.
     w_local = (
         Window.partitionBy("pid", "event_type")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "event_id", "first_seen")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("local_sum", F.sum("first_seen").over(w_local))
