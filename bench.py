@@ -55,6 +55,18 @@ HEADLINE = [
     "q_corpus_pipeline",    # Q/L: full curation DAG in one plan
 ]
 
+# Secondary tier: the iterative / blocked ops whose cost is dominated
+# by fixed job-scheduling floors (multi-round joins, localCheckpoint
+# barriers) rather than data volume at bench SF. Tracked round-over-
+# round in their own block so their drift is RECORDED without
+# polluting the comparable headline total; guard bounds apply per-tier.
+SECONDARY = [
+    "graph_pagerank",         # 10 fixed power-iteration rounds
+    "dedup_levenshtein",      # banded blocking + edit-distance UDF
+    "dedup_ngram_jaccard",    # df-capped shingle candidates + exact pass
+    "dedup_clusters_bigstar", # O(log n) big-star/small-star CC
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,6 +80,7 @@ def main() -> int:
         if s.strip()
     }
     headline = [n for n in HEADLINE if not only or n in only]
+    secondary = [n for n in SECONDARY if not only or n in only]
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -109,32 +122,39 @@ def main() -> int:
     # also skip breach-triggered extra runs — an isolated query misses
     # the suite's cache warm-up and would escalate 2 -> 4 runs chasing
     # a breach the guard then refuses to report.
-    prev_queries = prior[1] if prior and not only else {}
-    timings: dict[str, float] = {}
-    for name in headline:
-        op = ops.get(name)
-        if op is None:
-            continue
-        best = None
-        try:
-            runs = 2
-            done = 0
-            while done < runs:
-                t0 = time.perf_counter()
-                op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-                done += 1
-                if (
-                    done == runs
-                    and runs == 2
-                    and _would_breach(name, best, prev_queries)
-                ):
-                    runs = 4
-        except Exception as exc:  # never let one query kill the bench
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
+    prev_headline = prior[1] if prior and not only else {}
+    prev_secondary = prior[2] if prior and not only else {}
+
+    def time_tier(names: list[str], prev: dict[str, float]) -> dict[str, float]:
+        tier: dict[str, float] = {}
+        for name in names:
+            op = ops.get(name)
+            if op is None:
+                continue
+            best = None
+            try:
+                runs = 2
+                done = 0
+                while done < runs:
+                    t0 = time.perf_counter()
+                    op.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    done += 1
+                    if done == runs and runs == 2 and _would_breach(
+                        name, best, prev
+                    ):
+                        runs = 4
+            except Exception as exc:  # never let one query kill the bench
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                continue
+            tier[name] = round(best, 3)
+        return tier
+
+    timings = time_tier(headline, prev_headline)
+    secondary_timings = time_tier(secondary, prev_secondary)
 
     total = round(sum(timings.values()), 3)
     if only:
@@ -144,6 +164,7 @@ def main() -> int:
         print("bench guard skipped: subset run", file=sys.stderr)
     else:
         guard_report(timings, sf, prior)
+        guard_report(secondary_timings, sf, prior, tier="secondary")
     print(
         json.dumps(
             {
@@ -151,6 +172,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary_timings,
                 "sf": sf,
             }
         )
@@ -179,7 +201,12 @@ def _would_breach(name: str, best: float, prev: dict[str, float]) -> bool:
     return best / p > GUARD_QUERY_RATIO and best - p >= GUARD_MIN_DELTA_SEC
 
 
-def prior_round_queries(repo_dir: str) -> tuple[str, dict[str, float]] | None:
+def prior_round_queries(
+    repo_dir: str,
+) -> tuple[str, dict[str, float], dict[str, float]] | None:
+    """Newest recorded round: (filename, headline queries, secondary
+    tier). Rounds recorded before the secondary tier existed return {}
+    for it — the per-tier guard then has no common queries and skips."""
     import glob
     import re
 
@@ -195,24 +222,30 @@ def prior_round_queries(repo_dir: str) -> tuple[str, dict[str, float]] | None:
     try:
         with open(best[1]) as f:
             rec = json.load(f)
-        queries = (rec.get("parsed") or rec).get("queries")
+        parsed = rec.get("parsed") or rec
+        queries = parsed.get("queries")
+        secondary = parsed.get("secondary")
     except (OSError, ValueError, AttributeError):
         return None
     if not isinstance(queries, dict):
         return None
-    return os.path.basename(best[1]), queries
+    if not isinstance(secondary, dict):
+        secondary = {}
+    return os.path.basename(best[1]), queries, secondary
 
 
 def guard_report(
     timings: dict[str, float],
     sf: float,
-    prior: tuple[str, dict[str, float]] | None = None,
+    prior: tuple[str, dict[str, float], dict[str, float]] | None = None,
+    tier: str = "headline",
 ) -> None:
     if prior is None:  # standalone use (tests) — main() passes its own
         prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
     if prior is None:
         return
-    name, prev = prior
+    name = prior[0]
+    prev = prior[2] if tier == "secondary" else prior[1]
     common = [k for k in timings if k in prev and prev[k] > 0]
     if not common:
         return
@@ -220,8 +253,8 @@ def guard_report(
     prev_total = sum(prev[k] for k in common)
     ratio = cur_total / prev_total
     lines = [
-        f"bench guard vs {name} (sf={sf}): common {len(common)} queries, "
-        f"total {cur_total:.2f}s vs {prev_total:.2f}s ({ratio:.2f}x, "
+        f"bench guard [{tier}] vs {name} (sf={sf}): common {len(common)} "
+        f"queries, total {cur_total:.2f}s vs {prev_total:.2f}s ({ratio:.2f}x, "
         f"bound {GUARD_TOTAL_RATIO}x)"
     ]
     if ratio > GUARD_TOTAL_RATIO:

@@ -465,11 +465,17 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     VARIANT decodes the JSON once into a traversable binary — the
     difference between O(fields × parse) and O(parse) on a 100 TB
     semi-structured scan. The oracle reads the same field with plain
-    JSON extraction, so the variant path must agree value-for-value."""
+    JSON extraction, so the variant path must agree value-for-value.
+
+    The damage is UNCONDITIONALLY invalidating: prefixing ``{{`` can
+    never yield valid JSON (after ``{`` only ``"`` or ``}`` may
+    follow), for ANY props payload. Truncation — the previous kernel —
+    is not: a payload like ``55`` truncates to still-valid ``5`` and
+    would diverge from the oracle's hard-coded parse_ok=false."""
     e = table(spark, sf_dir, "events")
     damaged = F.when(
         F.col("event_id") % 9 == 0,
-        F.expr("substring(props, 1, length(props) - 1)"),
+        F.concat(F.lit("{{"), F.col("props")),
     ).otherwise(F.col("props"))
     v = F.try_parse_json(damaged)
     return e.select(

@@ -383,8 +383,9 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale,
-           list_transform(v, x -> CAST(floor(127 * x / scale + 0.5) AS INT))
-             AS q
+           array_to_string(
+             list_transform(v, x -> CAST(floor(127 * x / scale + 0.5) AS INT)),
+             ',') AS q
     FROM s
     WHERE scale > 0
     """,
@@ -411,7 +412,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("scale") > 0).select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
+        # CSV string, not ArrayType: the driver canon sorts raw pandas
+        # values and cannot hash ndarray cells. Integer codes, so the
+        # string form is exact.
         F.expr(
-            "transform(v, x -> cast(floor(127 * x / scale + 0.5) as int))"
+            "array_join(transform(v, x -> cast(cast("
+            "floor(127 * x / scale + 0.5) as int) as string)), ',')"
         ).alias("q"),
     )

@@ -231,7 +231,7 @@ _KMEANS_ORACLE = """
       GROUP BY cid
     )
     SELECT a.cid AS cluster_id, COUNT(*) AS n_members,
-           ANY_VALUE(c.c) AS centroid
+           array_to_string(ANY_VALUE(c.c), ',') AS centroid
     FROM a2 a JOIN c2 c ON a.cid = c.cid
     GROUP BY a.cid
 """
@@ -301,7 +301,15 @@ def kmeans_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .join(F.broadcast(cents), "cid")
         .select(
-            F.col("cid").alias("cluster_id"), "n_members", F.col("c").alias("centroid")
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            # Serialized to a CSV string, not ArrayType: the driver's
+            # canonicalizer sorts raw pandas values and crashes on
+            # unhashable ndarray cells. Integer components, so the
+            # string rendition is exact on both engines.
+            F.expr("array_join(transform(c, x -> cast(x as string)), ',')").alias(
+                "centroid"
+            ),
         )
     )
 

@@ -136,24 +136,39 @@ def load_all() -> dict[str, Op]:
 
 
 def _attested_keys() -> frozenset[str]:
-    """Union of op keys across the committed CORRECTNESS_r*.json driver
-    records. load_all() floats keys NOT in this set to the front so the
-    driver's first-50 attestation window always lands on never-checked
-    ops — the rotation maintains itself as each round's record lands."""
+    """Op keys whose NEWEST record across the committed
+    CORRECTNESS_r*.json driver files passed: err is None, or the
+    by-design ``"no_oracle"`` rows-only marker. A key whose latest
+    record errored (e.g. a canonicalizer crash) does NOT count — it
+    floats back to the front of the registry so the next round's
+    first-50 attestation window re-checks the fix. load_all() orders
+    never-attested-green keys first; the rotation maintains itself as
+    each round's record lands."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    keys: set[str] = set()
+    latest: dict[str, tuple[int, object]] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
         try:
             with open(path) as f:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(rec, dict):
-            keys.update(k for k in rec if isinstance(k, str))
-    return frozenset(keys)
+        if not isinstance(rec, dict):
+            continue
+        for k, v in rec.items():
+            if isinstance(k, str) and (k not in latest or rnd > latest[k][0]):
+                latest[k] = (rnd, v)
+    ok: set[str] = set()
+    for k, (_, v) in latest.items():
+        err = v.get("err") if isinstance(v, dict) else None
+        if err is None or err == "no_oracle":
+            ok.add(k)
+    return frozenset(ok)

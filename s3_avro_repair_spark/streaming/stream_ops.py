@@ -87,6 +87,24 @@ def ensure_stream_dirs(sf_dir: str) -> str:
         if os.path.isdir(src):
             src = f"{src}/*.parquet"
         con.execute("CREATE TEMP TABLE t AS " + _TILE_SQL.format(src=src))
+        # Contract required by stream_dedup's oracle: event_type must be
+        # functionally dependent on event_id. dropDuplicatesWithinWatermark
+        # keeps ONE arrival-order-dependent row per event_id; the oracle
+        # COUNT(DISTINCT event_id) GROUP BY event_type only matches when
+        # every copy of an id carries the same type. A fixture generation
+        # that ever shipped same-id-different-type rows would make the op
+        # nondeterministic — fail the build here, not the hash check.
+        fd_violations = con.execute(
+            "SELECT COUNT(*) FROM ("
+            "  SELECT event_id FROM t GROUP BY event_id"
+            "  HAVING COUNT(DISTINCT COALESCE(event_type, chr(0))) > 1)"
+        ).fetchone()[0]
+        if fd_violations:
+            raise ValueError(
+                f"stream fixture contract broken: {fd_violations} event_ids "
+                "carry more than one event_type (dedup would be "
+                "arrival-order-dependent)"
+            )
         cols = "event_id, ts, user_id, event_type, value, props"
         parts = {
             "f0.parquet": f"SELECT {cols} FROM t WHERE tile <= 7",
@@ -317,7 +335,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state store drops every duplicate. The surviving multiset is
     arrival-order-INVARIANT, so this streaming op still hash-checks
     against exact SQL (the NTILE split the stream files were built
-    from). The oracle's ``epoch(ts) >= 0`` guard mirrors the engine's
+    from). That invariance stands on a fixture contract the builder
+    ASSERTS (ensure_stream_dirs): event_type is functionally dependent
+    on event_id — otherwise the single row the state store keeps would
+    be arrival-order-dependent and the oracle's per-type distinct
+    count ill-defined. The oracle's ``epoch(ts) >= 0`` guard mirrors the engine's
     initial watermark of epoch 0: pre-1970 event times are below the
     watermark before any data arrives and are dropped on ingest
     (measured by the calendar-edge sweep; no-op on in-range data)."""

@@ -188,21 +188,122 @@ def test_attestation_window():
 
 def test_attested_keys_reader_matches_records():
     """The self-maintaining window ordering stands on _attested_keys():
-    it must return exactly the union of op keys across the committed
-    CORRECTNESS_r*.json records, and every registry key outside that
-    union must sort before every key inside it (stable otherwise)."""
+    a key counts as attested only when its NEWEST record across the
+    committed CORRECTNESS_r*.json files passed (err is None or the
+    by-design "no_oracle"); errored keys float back into the next
+    window. Every registry key outside that set must sort before every
+    key inside it (stable otherwise)."""
     import glob
     import json
+    import re
 
     from s3_avro_repair_spark.plans.registry import _attested_keys
 
-    expect: set[str] = set()
+    latest: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
         with open(path) as f:
-            expect.update(json.load(f).keys())
+            for k, v in json.load(f).items():
+                if k not in latest or rnd > latest[k][0]:
+                    latest[k] = (rnd, v)
+    expect = {
+        k
+        for k, (_, v) in latest.items()
+        if v.get("err") in (None, "no_oracle")
+    }
     att = _attested_keys()
     assert att == expect
+    # kmeans_quantized errored in r4 (driver canon crash) — until a
+    # newer record supersedes that, it must NOT count as attested.
+    newest_km = max(
+        (rnd for k, (rnd, _) in latest.items() if k == "kmeans_quantized"),
+        default=None,
+    )
+    if newest_km == 4:
+        assert "kmeans_quantized" not in att
     names = list(_OPS)
     split = sum(1 for n in names if n not in att)
     assert all(n not in att for n in names[:split])
     assert all(n in att for n in names[split:])
+
+
+def test_attested_keys_excludes_errored_records(tmp_path, monkeypatch):
+    """Errored-record fixture: a key whose newest record carries a
+    non-null err (other than "no_oracle") must be dropped from the
+    attested set, and a later green record must restore it."""
+    import json
+
+    from s3_avro_repair_spark.plans import registry
+
+    pkg_dir = tmp_path / "pkgroot" / "plans"
+    pkg_dir.mkdir(parents=True)
+    fake_file = pkg_dir / "registry.py"
+    fake_file.write_text("")
+    monkeypatch.setattr(registry, "__file__", str(fake_file))
+
+    def write(rnd: int, rec: dict) -> None:
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rec))
+
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    crashed = {"rows_match": False, "hash_match": False, "err": "TypeError: boom"}
+    rows_only = {"rows_match": True, "hash_match": False, "err": "no_oracle"}
+    write(1, {"a": green, "b": green, "c": rows_only})
+    write(2, {"b": crashed, "d": crashed})
+    att = registry._attested_keys()
+    assert att == {"a", "c"}  # b errored in its newest record; d never green
+    write(3, {"b": green})  # the fix lands → b re-enters the attested set
+    assert registry._attested_keys() == {"a", "b", "c"}
+    # monkeypatch teardown restores the real registry.__file__
+
+
+def test_verify_local_catches_canon_hostile_output():
+    """tools/verify_local.py must fail an op whose output the DRIVER's
+    canonicalizer cannot sort (raw-value sort_values over all columns),
+    even when our own stringify-then-sort compare would succeed — i.e.
+    it must reproduce the exact r4 kmeans_quantized crash mode locally,
+    BEFORE the round's one attestation shot."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.verify_local import compare, driver_canon
+
+    arr_df = pd.DataFrame(
+        {"k": [1, 2], "v": [np.array([1, 2]), np.array([3, 4])]}
+    )
+    with pytest.raises(TypeError):
+        driver_canon(arr_df)
+    problems = compare("fixture", arr_df, arr_df.copy())
+    assert problems and any("driver-canon crash" in p for p in problems)
+    # and a plain scalar frame sails through
+    ok_df = pd.DataFrame({"k": [2, 1], "v": ["b", "a"]})
+    assert compare("fixture", ok_df, ok_df.copy()) == []
+
+
+def test_no_array_or_map_output_on_oracle_ops(spark, sf_dir):
+    """Driver-canonicalizability contract: the driver's hash canon
+    sorts raw pandas values over all columns, which raises TypeError on
+    unhashable cells (ndarray/dict). Therefore NO oracle-bearing op may
+    emit ArrayType/MapType anywhere in its output schema — array-shaped
+    results must be serialized (array_join) before they leave the op.
+    This is the contract whose violation produced the only red row the
+    driver has ever recorded (kmeans_quantized, r4)."""
+    from pyspark.sql import types as T
+
+    def has_unhashable(dt) -> bool:
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(has_unhashable(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = []
+    for name, op in sorted(_OPS.items()):
+        if op.oracle is None:
+            continue
+        schema = op.fn(spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if has_unhashable(f.dataType)]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, "array/map output on oracle-bearing ops: " + "; ".join(
+        offenders
+    )

@@ -64,8 +64,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the driver's canonicalization: sort_values over ALL
+    columns on the RAW pandas frame (no stringify first). This is what
+    crashes on unhashable cell types — ndarray/list/dict columns raise
+    ``TypeError: unhashable type`` inside pandas' lexsort, exactly as
+    the driver's r4 record shows for kmeans_quantized. Running it here
+    makes any canon-incompatible output type fail BEFORE the round's
+    one attestation shot."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def compare(name: str, spark_df, duck_df) -> list[str]:
     problems = []
+    for side, frame in (("spark", spark_df), ("duck", duck_df)):
+        try:
+            driver_canon(frame)
+        except Exception as exc:
+            problems.append(f"driver-canon crash ({side}): {type(exc).__name__}: {exc}")
+    if problems:
+        return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
     scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
