@@ -101,15 +101,23 @@ def main() -> int:
         "overwrite"
     ).save()
     # Avro fixture generation is one-time harness setup, not operator
-    # cost — do it outside the timers.
-    try:
-        from s3_avro_repair_spark.sources.avro_pipeline import ensure_avro_fixtures
-        from s3_avro_repair_spark.streaming.stream_ops import ensure_stream_dirs
+    # cost — do it outside the timers. SPARK_GRAFT_SKIP_PREP=1 skips it
+    # entirely for subset runs that touch no Avro/stream op (e.g. the
+    # SCALING.md 10x-fixture runs, where building an unused 1.5M-row
+    # Avro tree would dominate wall-clock).
+    if os.environ.get("SPARK_GRAFT_SKIP_PREP") != "1":
+        try:
+            from s3_avro_repair_spark.sources.avro_pipeline import (
+                ensure_avro_fixtures,
+            )
+            from s3_avro_repair_spark.streaming.stream_ops import (
+                ensure_stream_dirs,
+            )
 
-        ensure_avro_fixtures(sf_dir)
-        ensure_stream_dirs(sf_dir)
-    except Exception as exc:
-        print(f"bench: fixture prep failed: {exc}", file=sys.stderr)
+            ensure_avro_fixtures(sf_dir)
+            ensure_stream_dirs(sf_dir)
+        except Exception as exc:
+            print(f"bench: fixture prep failed: {exc}", file=sys.stderr)
 
     # Two runs per query, report the min: steady-state throughput, not
     # first-run JIT/codegen compilation. If the min would still breach

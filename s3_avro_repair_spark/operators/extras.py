@@ -55,29 +55,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same blocked+banded candidate bound as sim_cosine_pairs (never
     all-pairs); threshold applied to the full-precision cosine, the
     rounded value only reported."""
-    from .llm import _norm
+    from .llm import banded_candidates
 
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
-    b = en.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") - F.col("id_a") <= 50),
-        )
+        banded_candidates(spark, sf_dir, band=50)
         .withColumn("cos", cos)
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))

@@ -66,33 +66,15 @@ def _sim_pairs(spark: SparkSession, sf_dir: str, thr: float = 0.35) -> DataFrame
     embedding rows (at-least-once ingest) would otherwise produce
     multi-edges that inflate degrees, PageRank mass, and triangle
     counts (production-shard find — n_tri 222 vs 1 on one node)."""
-    from .llm import _norm
+    from .llm import banded_candidates
 
     dot = (
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
-    b = en.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     cos = F.expr(dot) / (F.col("na") * F.col("nb"))
     return (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") - F.col("id_a") <= 50),
-        )
+        banded_candidates(spark, sf_dir, band=50)
         .filter(cos >= thr)
         .select("id_a", "id_b")
         .distinct()

@@ -210,29 +210,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared kernel of dedup_clusters / dedup_canonical: (vec_id,
     cluster_id) for every node of the cosine-similarity graph."""
-    from .llm import _norm
+    from .llm import banded_candidates
 
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(32)  # spread pair gen; fixture reads as 1 partition
-    b = en.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") - F.col("id_a") <= 50),
-        )
+        banded_candidates(spark, sf_dir, band=50)
         .filter(cos >= 0.35)
         .select("id_a", "id_b")
     )
@@ -425,29 +407,11 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (crawl mirrors, boilerplate families). Convergence probe is
     a 3-scalar aggregate (count + endpoint sums), never a collect."""
     # pair generation identical to _cluster_labels
-    from .llm import _norm
+    from .llm import banded_candidates
 
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).repartition(32)
-    b = en.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("la") == F.col("lb"))
-            & (F.col("id_b") > F.col("id_a"))
-            & (F.col("id_b") - F.col("id_a") <= 50),
-        )
+        banded_candidates(spark, sf_dir, band=50)
         .filter(cos >= 0.35)
         .select("id_a", "id_b")
     )

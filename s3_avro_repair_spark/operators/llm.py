@@ -521,33 +521,80 @@ def _norm(vec_col: str):
     return F.sqrt(F.expr(_DOT.format(a=vec_col, b=vec_col)))
 
 
+def banded_candidates(spark: SparkSession, sf_dir: str, band: int) -> DataFrame:
+    """Label-blocked, id-banded candidate pairs (id_a < id_b <=
+    id_a + band) with embeddings and precomputed norms attached — the
+    shared candidate kernel of sim_cosine_pairs,
+    dedup_embedding_cosine, dedup_clusters (+ bigstar/canonical),
+    graph_pagerank, and graph_triangles. Columns: id_a, id_b, ea, eb,
+    na, nb; each caller applies its own cosine threshold/projection.
+
+    The band bucket (``vec_id DIV band``) is PART OF THE EQUI-JOIN
+    KEY, not a residual predicate. Joining on label alone hash-joins
+    whole label blocks and filters the band afterwards — label
+    cardinality is FIXED while the corpus grows, so joined rows grow
+    O(n^2 / |labels|): the round-5 10x-fixture measurement (SCALING.md)
+    put dedup_clusters at 15-18x wall-time on 10x data from exactly
+    this (400k -> 40M joined candidate rows; the final edge graph grew
+    only 11 -> 110). With the bucket in the key, the left side explodes
+    to its two admissible buckets (``id DIV band`` and +1 — a partner
+    with id_b - id_a <= band can hash nowhere else, bucket values being
+    consecutive integers under either floor or trunc division), the
+    right side hashes to exactly one, so every qualifying pair meets
+    exactly once, candidates are O(band) per node — linear in the
+    corpus — and the shuffle key (label, bucket) stays high-cardinality
+    even with few labels. Same two-sided bucketing as
+    join_range_bucketed; the band predicate is re-applied as a
+    residual, so the pair set is IDENTICAL to the label-block + filter
+    formulation and no oracle changes."""
+    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
+    a = (
+        en.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("label").alias("la"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        .repartition(32)  # tiny fixture reads as 1 partition; spread pair gen
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.expr(f"id_a DIV {band}"), F.expr(f"id_a DIV {band} + 1")
+                )
+            ),
+        )
+    )
+    b = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    ).withColumn("bkt", F.expr(f"id_b DIV {band}"))
+    return a.join(
+        b,
+        (F.col("la") == F.col("lb"))
+        & (a["bkt"] == b["bkt"])
+        & (F.col("id_b") > F.col("id_a"))
+        & (F.col("id_b") - F.col("id_a") <= band),
+    ).select("id_a", "id_b", "ea", "eb", "na", "nb")
+
+
 @register("sim_cosine_pairs", group="L", oracle=_COSINE_SQL_CTE)
 def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine similarity over label-blocked, id-banded pairs.
 
     The candidate set is bounded TWICE before any arithmetic: equal
     ``label`` (block) and ``vec_id`` within 20 (band) — output is
-    O(20n), never O(n^2); the equi-join on label is an ordinary hash
-    join. Dot products run in the JVM via zip_with/aggregate HOFs over
-    the float arrays; rounded to 4dp so cross-engine double summation
-    order can't flip the hash, and `+ 0` after the round normalizes
-    IEEE signed zero (the skew sweep's hot label pairs unrelated
-    vectors whose cosine rounds to +/-0.0 — ts_zscore's rule)."""
-    en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    a = en.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-    ).repartition(32)  # tiny fixture reads as 1 partition; spread pair gen
-    b = en.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("la") == F.col("lb"))
-        & (F.col("id_b") > F.col("id_a"))
-        & (F.col("id_b") - F.col("id_a") <= 20),
-    )
+    O(20n), never O(n^2); the equi-join key is (label, band bucket) —
+    see banded_candidates for why the bucket must be IN the key, not a
+    residual. Dot products run in the JVM via zip_with/aggregate HOFs
+    over the float arrays; rounded to 4dp so cross-engine double
+    summation order can't flip the hash, and `+ 0` after the round
+    normalizes IEEE signed zero (the skew sweep's hot label pairs
+    unrelated vectors whose cosine rounds to +/-0.0 — ts_zscore's
+    rule)."""
+    pairs = banded_candidates(spark, sf_dir, band=20)
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return pairs.select(
         "id_a", "id_b", (F.round(cos, 4) + F.lit(0)).alias("cosine")

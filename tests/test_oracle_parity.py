@@ -140,6 +140,27 @@ R4_WINDOW = {
 }
 
 
+R5_WINDOW = {
+    "kmeans_quantized",  # errored r4 (canon crash); floats back first
+    "scan_jsonl_permissive", "scan_observed", "scan_orc",
+    "join_bucketed_tables", "scan_parquet_partitioned",
+    "text_lang_id", "text_quality", "text_token_count",
+    "text_fingerprint", "dedup_simhash", "text_normalize",
+    "text_pii_mask", "agg_heavy_hitters", "dedup_levenshtein",
+    "text_repetition", "dedup_embedding_cosine", "join_salted",
+    "agg_percentiles", "text_entropy", "sim_ann_ivf", "agg_pivot",
+    "fn_unpivot", "udtf_map_in_arrow", "embedding_quantize",
+    "merge_upsert", "scd2_intervals", "sample_hash_det",
+    "dedup_clusters", "join_range_bucketed", "dedup_canonical",
+    "dedup_clusters_bigstar", "merge_intervals", "snapshot_diff",
+    "join_runtime_filter", "join_lateral", "join_asof_forward",
+    "join_null_safe", "agg_mode", "agg_bitmap_distinct",
+    "agg_hll_merge", "agg_regression", "agg_grouping_id", "agg_median",
+    "agg_distinct_kmv", "agg_bool", "agg_mad", "ts_downsample",
+    "ts_interpolate", "window_pct_change",
+}
+
+
 def test_attestation_window():
     """Must run in a FRESH process: registration order is import order,
     and sibling test modules import op modules directly, which shifts
@@ -183,6 +204,12 @@ def test_attestation_window():
         assert set(window) == R4_WINDOW, (
             f"window drift: extra={set(window) - R4_WINDOW}, "
             f"missing={R4_WINDOW - set(window)}"
+        )
+    elif not os.path.exists(os.path.join(_REPO_ROOT, "CORRECTNESS_r05.json")):
+        assert len(R5_WINDOW) == 50
+        assert set(window) == R5_WINDOW, (
+            f"window drift: extra={set(window) - R5_WINDOW}, "
+            f"missing={R5_WINDOW - set(window)}"
         )
 
 
