@@ -1,0 +1,91 @@
+"""10x scaling census: wall-time per op at sf0.1 vs the synthesized
+10x fixture (tools/scale_fixture.py), flagging super-linear ops.
+
+The round-5 5-query measurement caught one quadratic candidate join
+(banded_candidates, SCALING.md); this sweeps the whole volume-sensitive
+surface the same way so the next one is caught by a tool, not by luck.
+Excludes the E (Avro tree) and T (streaming microbatch) groups — their
+cost is file-count-bound against per-sf fixture trees that don't exist
+for the synthesized dir — and the deliberately-eager sink ops.
+
+Usage: python tools/scaling_census.py [ratio_flag] [op ...]
+Prints one line per op: name, sf0.1 s, sf1.0 s, ratio; summary of ops
+whose ratio exceeds ratio_flag (default 8.0 — 10x data, so >8x wall
+means at-or-past-linear with no floor amortization; the interesting
+tail) sorted worst-first.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKIP_GROUPS = {"E", "T"}
+SKIP_OPS = {
+    # eager writers sized by input volume — legit 10x cost, not a plan smell
+    "sink_parquet", "sink_avro", "sink_bucketed", "avro_rewrite",
+    "avro_compact", "compact_small_files", "join_bucketed_tables",
+    "join_dpp",
+}
+
+SF01 = "/root/testdata/sf0.1"
+SF10 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".avro_cache", "scaled_sf1.0",
+)
+
+
+def time_op(op, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> int:
+    flag = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
+    only = set(sys.argv[2:])
+
+    from s3_avro_repair_spark.plans.registry import load_all
+    from s3_avro_repair_spark.session import get_session
+
+    if not os.path.isdir(SF10):
+        print(f"missing {SF10}: run tools/scale_fixture.py first")
+        return 2
+
+    spark = get_session("census", master="local[32]")
+    spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ops = load_all()
+    rows = []
+    for name, op in sorted(ops.items()):
+        if only and name not in only:
+            continue
+        if not only and (op.group in SKIP_GROUPS or name in SKIP_OPS):
+            continue
+        try:
+            t01 = time_op(op, spark, SF01)
+            t10 = time_op(op, spark, SF10)
+        except Exception as exc:
+            print(f"{name}: FAILED {type(exc).__name__}: {exc}")
+            continue
+        ratio = t10 / t01 if t01 > 0 else float("inf")
+        rows.append((name, t01, t10, ratio))
+        print(f"{name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x)", flush=True)
+
+    hot = sorted((r for r in rows if r[3] > flag), key=lambda r: -r[3])
+    print(f"\n{len(rows)} ops; {len(hot)} over {flag}x on 10x data:")
+    for name, t01, t10, ratio in hot:
+        print(f"  {name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
