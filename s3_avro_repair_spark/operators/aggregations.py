@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..exprs import davg, dec2, dsum, sql_davg, sql_dsum
 from ..plans.registry import register
 from ..tables import table
+from .quantiles import exact_quantiles
 
 
 @register(
@@ -596,18 +597,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group median (Spark 4's ``median`` aggregate =
-    percentile(0.5), a full-sort-per-group aggregate — the EXACT
-    counterpart of agg_approx_percentile's sketch). Both engines
-    interpolate even-count medians as the mean of the two middle
-    doubles, so results are bit-identical. At 100 TB exact medians are
-    what you reach for when the group count is modest and the answer
-    must be reproducible (approx_percentile's error bound moves with
-    compression); the sort is per-group and parallel across groups."""
+    """Exact per-group median — the EXACT counterpart of
+    agg_approx_percentile's sketch, reproducible where the sketch's
+    error bound moves with compression. NOT Spark's ``median``
+    aggregate: that buffers every group value in a non-spilling
+    ObjectHashAggregate buffer, which the 10x scaling census proved
+    heap-fatal on tall groups (see operators/quantiles.py). Instead
+    both measures are unpivoted into one (group, measure, value)
+    stream and fed through the sort-based ``exact_quantiles`` kernel —
+    a single scan, distinct-value-compressed shuffle, spillable
+    windows, and interpolation bit-identical to ``median`` /
+    DuckDB's even-count mean-of-middles."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.median("l_quantity").alias("med_qty"),
-        F.median("l_extendedprice").alias("med_price"),
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice"],
+        "__m",
+        "__val",
+    )
+    med = exact_quantiles(
+        long, ["l_returnflag", "__m"], "__val", [(0.5, "med")]
+    )
+    return (
+        med.groupBy("l_returnflag")
+        .pivot("__m", ["l_quantity", "l_extendedprice"])
+        .agg(F.first("med"))
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("med_qty"),
+            F.col("l_extendedprice").alias("med_price"),
+        )
     )
 
 
@@ -714,12 +737,15 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     (medians via per-group sort, parallel across groups). The
     broadcast-back join is NULL-SAFE (<=>): groupBy keeps NULL as its
     own group on both engines, so an equi-join here would silently
-    drop that group between the two passes."""
+    drop that group between the two passes. Both median passes use the
+    sort-based spill-safe ``exact_quantiles`` kernel rather than
+    Spark's buffering ``median`` aggregate (heap-fatal on tall groups
+    — see operators/quantiles.py)."""
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("med_price")
+    med = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [(0.5, "med_price")]
     ).withColumnRenamed("l_returnflag", "m_returnflag")
     dev = li.join(
         F.broadcast(med),
@@ -729,6 +755,6 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_price",
         F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("adev"),
     )
-    return dev.groupBy("l_returnflag", "med_price").agg(
-        F.median("adev").alias("mad_price")
+    return exact_quantiles(
+        dev, ["l_returnflag", "med_price"], "adev", [(0.5, "mad_price")]
     ).select("l_returnflag", "med_price", "mad_price")

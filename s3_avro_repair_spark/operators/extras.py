@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..tables import table
+from .quantiles import exact_quantiles
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -119,19 +120,29 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT continuous percentiles (p50/p90/p99) per group — the
-    latency/size distribution primitive. Spark's ``percentile`` is the
-    exact (sort-based) aggregate matching DuckDB's quantile_cont
-    interpolation; for 100 TB hot paths you'd swap in
-    ``percentile_approx`` (t-digest sketch, mergeable, one pass —
-    see agg_approx_distinct for the same exact/approx trade)."""
+    latency/size distribution primitive, computed sort-based via
+    ``quantiles.exact_quantiles`` instead of Spark's ``percentile``
+    aggregate. The built-in buffers every group value in an
+    ObjectHashAggregate buffer that never spills when the group COUNT
+    is small (the fallback triggers on key count, not buffer size);
+    the 10x scaling census killed the JVM with a heap OOM on exactly
+    this op's "3 tall groups" shape. The replacement compresses to
+    (group, distinct value, count) map-side, then rank-interpolates
+    over a spillable running-sum window — same answers, bit-identical
+    interpolation, bounded memory at any scale. For 100 TB hot paths
+    you'd still swap in ``percentile_approx`` (t-digest sketch,
+    mergeable, one pass — see agg_approx_distinct for the same
+    exact/approx trade)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        *[
-            F.round(
-                F.expr(f"percentile(l_extendedprice, {q})"), 4
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.5, 0.9, 0.99)
-        ]
+    qs = exact_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(q, f"p{int(q * 100)}") for q in (0.5, 0.9, 0.99)],
+    )
+    return qs.select(
+        "l_returnflag",
+        *[F.round(F.col(c), 4).alias(c) for c in ("p50", "p90", "p99")],
     )
 
 

@@ -48,21 +48,58 @@ def time_op(op, spark, sf_dir: str) -> float:
     return best
 
 
-def main() -> int:
-    flag = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
-    only = set(sys.argv[2:])
+def fresh_session():
+    """(Re)build the census SparkSession, surviving a dead JVM.
 
-    from s3_avro_repair_spark.plans.registry import load_all
+    A heap OOM in local mode poisons the single JVM; every later py4j
+    call then fails with Connection refused, which voided 90% of the
+    first census run. Clearing the cached gateway/context lets
+    getOrCreate launch a brand-new JVM mid-process."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+    except Exception:
+        pass
+    with SparkContext._lock:
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+
     from s3_avro_repair_spark.session import get_session
-
-    if not os.path.isdir(SF10):
-        print(f"missing {SF10}: run tools/scale_fixture.py first")
-        return 2
 
     spark = get_session("census", master="local[32]")
     spark.range(1_000_000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
+    return spark
+
+
+def ensure_alive(spark):
+    try:
+        spark.range(1).count()
+        return spark
+    except Exception:
+        print("  [session dead - relaunching JVM]", flush=True)
+        return fresh_session()
+
+
+def main() -> int:
+    flag = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
+    only = set(sys.argv[2:])
+
+    from s3_avro_repair_spark.plans.registry import load_all
+
+    if not os.path.isdir(SF10):
+        print(f"missing {SF10}: run tools/scale_fixture.py first")
+        return 2
+
+    spark = fresh_session()
     ops = load_all()
     rows = []
     for name, op in sorted(ops.items()):
@@ -74,7 +111,9 @@ def main() -> int:
             t01 = time_op(op, spark, SF01)
             t10 = time_op(op, spark, SF10)
         except Exception as exc:
-            print(f"{name}: FAILED {type(exc).__name__}: {exc}")
+            first = str(exc).splitlines()[0][:200] if str(exc) else ""
+            print(f"{name}: FAILED {type(exc).__name__}: {first}", flush=True)
+            spark = ensure_alive(spark)
             continue
         ratio = t10 / t01 if t01 > 0 else float("inf")
         rows.append((name, t01, t10, ratio))
