@@ -651,17 +651,26 @@ def agg_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches -> monthly distinct without re-scanning). Expected
     relative error ~ 1/sqrt(k-1) ~ 13% at k=64.
 
-    Scale shape: the shuffle carries per-group sketches (k doubles),
-    never keys; collect_set dedups map-side first. rows-only vs the
+    Scale shape: the k-smallest selection is SORT-BASED, not buffered —
+    ``collect_set`` per tall group would accumulate every distinct hash
+    in a non-spilling ObjectHashAggregate buffer before the slice trims
+    the output (the same heap-fatal shape the 10x census caught in
+    agg_percentiles; see operators/quantiles.py). Instead: distinct
+    compression (map-side dedup), a row_number window ordered by u
+    (spillable), filter to rank <= k, THEN collect — the only
+    collect_list runs over at most k rows per group. rows-only vs the
     oracle (DuckDB cannot reproduce xxhash64); the estimate-vs-exact
     bound is pinned by test_kmv_accuracy."""
     k = 64
     li = table(spark, sf_dir, "lineitem")
     u = (F.xxhash64("l_orderkey").cast("double") / F.lit(float(2**64))) + 0.5
+    distinct_u = li.select("l_returnflag", u.alias("u")).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("u")
     per_flag = (
-        li.select("l_returnflag", u.alias("u"))
+        distinct_u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
         .groupBy("l_returnflag")
-        .agg(F.slice(F.array_sort(F.collect_set("u")), 1, k).alias("sk"))
+        .agg(F.array_sort(F.collect_list("u")).alias("sk"))
     )
     est = F.when(
         F.size("sk") < k, F.size("sk").cast("double")

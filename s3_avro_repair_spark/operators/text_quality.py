@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -243,6 +243,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the shuffle key is 2+8 bytes per doc per band; candidates
     are verified per-bucket — the classic linear-cost near-dup sweep.
+    The member list per bucket is capped at 1024 ids via a sort-based
+    window rank (n_docs still carries the true count): an uncapped
+    collect_list on a hot bucket (think boilerplate pages all sharing
+    a band) is the non-spilling ObjectHashAggregate buffer shape the
+    10x census proved heap-fatal, and a bucket past ~1k members is a
+    degenerate band you re-shard anyway, not a candidate list.
     """
 
     @pandas_udf("long")
@@ -281,19 +287,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_no", "band.band_value")
+    w_bucket = Window.partitionBy("band_no", "band_value")
+    ranked = bands.select(
+        "doc_id",
+        "band_no",
+        "band_value",
+        F.row_number().over(w_bucket.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_bucket).alias("n_docs"),
+    )
     return (
-        bands.groupBy("band_no", "band_value")
+        ranked.filter((F.col("n_docs") > 1) & (F.col("rn") <= 1024))
+        .groupBy("band_no", "band_value")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.max("n_docs").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+            ).alias("doc_ids"),
         )
-        .filter(F.col("n_docs") > 1)
-        .select(
-            "band_no",
-            "band_value",
-            "n_docs",
-            F.concat_ws(",", F.col("doc_ids").cast("array<string>")).alias("doc_ids"),
-        )
+        .select("band_no", "band_value", "n_docs", "doc_ids")
     )
 
 

@@ -71,6 +71,17 @@ def fresh_session():
     SparkSession._instantiatedSession = None
     SparkSession._activeSession = None
 
+    # A realistic heap: local-mode default is 1g shared by 32 task
+    # threads = 32 MB/task, an order of magnitude below any production
+    # executor sizing — at that starvation even bounded sketches
+    # (percentile_approx's QuantileSummaries partials x 32 concurrent
+    # tasks) OOM and the census measures the harness, not the plans.
+    # 4g (~128 MB/task) is still tight enough that a genuinely
+    # unbounded per-group buffer dies on the 10x fixture.
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 4g pyspark-shell"
+    )
+
     from s3_avro_repair_spark.session import get_session
 
     spark = get_session("census", master="local[32]")
@@ -111,7 +122,12 @@ def main() -> int:
             t01 = time_op(op, spark, SF01)
             t10 = time_op(op, spark, SF10)
         except Exception as exc:
-            first = str(exc).splitlines()[0][:200] if str(exc) else ""
+            # str(Py4JJavaError) round-trips to the JVM; if the JVM is
+            # the thing that died, that raises from inside this except.
+            try:
+                first = str(exc).splitlines()[0][:200] if str(exc) else ""
+            except Exception:
+                first = "<unrenderable: JVM gone>"
             print(f"{name}: FAILED {type(exc).__name__}: {first}", flush=True)
             spark = ensure_alive(spark)
             continue
