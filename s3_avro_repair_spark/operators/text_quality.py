@@ -439,12 +439,19 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN (v & 8) <> 0 THEN 1 ELSE -1 END)) > 0 THEN 8 ELSE 0 END)
         AS band
       FROM n
+    ),
+    ranked AS (
+      SELECT doc_id, lang, blk, band, head,
+             ROW_NUMBER() OVER (PARTITION BY lang, blk, band
+                                ORDER BY head, doc_id) AS rn
+      FROM bands
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+           GREATEST(a.doc_id, b.doc_id) AS id_b,
            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
-    FROM bands a JOIN bands b
+    FROM ranked a JOIN ranked b
       ON a.lang = b.lang AND a.blk = b.blk AND a.band = b.band
-     AND a.doc_id < b.doc_id
+     AND b.rn - a.rn BETWEEN 1 AND 16
     WHERE levenshtein(a.head, b.head) <= 8
     """,
 )
@@ -463,13 +470,25 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit over the head's tokens (bit j of a token = bit j of the first
     hex digit of its md5), so two heads within a few token edits
     almost always land in the same band, while a hot-prefix block with
-    diverse tails splits into up to 16 sub-blocks — pair work in a
-    block of H docs drops from H² to ~(H/16)²·16 = H²/16. Both block
-    keys and levenshtein are bit-identical across engines (md5 hex +
-    strpos arithmetic mirror conv(…,16,10)), so the contract stays
-    hash-exact. Known misses — edits in the first 12 chars, or band
-    flips from heavy head rewrites — are the standard blocking trade;
-    the LSH family covers those cases."""
+    diverse tails splits into up to 16 sub-blocks. Both block keys and
+    levenshtein are bit-identical across engines (md5 hex + strpos
+    arithmetic mirror conv(…,16,10)), so the contract stays hash-exact.
+
+    Band splitting alone is NOT enough: when near-identical docs differ
+    only past the 64-char head (the boilerplate pile), all copies share
+    prefix AND band, and pair work inside the pile is H² — the 10x
+    scaling census measured 39x wall on 10x data from exactly this. So
+    the block join is a SORTED NEIGHBORHOOD: members rank by (head,
+    doc_id) within each block and only pairs within 16 rank positions
+    meet, via the rank-bucket two-sided explode (`rn DIV 16` in the
+    equi-join key, same construction as llm.py::banded_candidates), so
+    joined rows are O(16·H) per block — linear in the corpus. Lexical
+    rank adjacency keeps recall: near-identical heads sort adjacent,
+    and a >16-deep pile of mutual near-dups still chains transitively
+    through consecutive ranks for the downstream clustering pass.
+    Known misses — edits in the first 12 chars, band flips from heavy
+    head rewrites, pairs >16 ranks apart in a giant block — are the
+    standard blocking trade; the LSH family covers those cases."""
     d = table(spark, sf_dir, "documents")
     n = d.select(
         "doc_id",
@@ -504,21 +523,49 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS int)
     )
     """
-    bands = n.withColumn("band", F.expr(_BAND_EXPR))
-    a, b = bands.alias("a"), bands.alias("b")
-    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    nbr = 16
+    ranked = n.withColumn("band", F.expr(_BAND_EXPR)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang", "blk", "band").orderBy("head", "doc_id")
+        ),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("did_a"),
+        "lang",
+        "blk",
+        "band",
+        F.col("head").alias("head_a"),
+        F.col("rn").alias("rn_a"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.expr(f"rn_a DIV {nbr}"), F.expr(f"rn_a DIV {nbr} + 1"))
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("did_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("band").alias("band_b"),
+        F.col("head").alias("head_b"),
+        F.col("rn").alias("rn_b"),
+    ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= nbr),
         )
         .filter(dist <= 8)
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.least("did_a", "did_b").alias("id_a"),
+            F.greatest("did_a", "did_b").alias("id_b"),
             dist.cast("bigint").alias("edit_dist"),
         )
     )
