@@ -38,11 +38,38 @@ SF10 = os.path.join(
 )
 
 
+OP_TIMEOUT_S = float(os.environ.get("CENSUS_OP_TIMEOUT_S", "150"))
+
+
 def time_op(op, spark, sf_dir: str) -> float:
+    """min-of-2 wall time, with a per-attempt job-group timeout.
+
+    The first full-surface run wedged for >25 min inside ONE op
+    (dedup_near at 10x: AQE coalesced an exploding LSH-bucket join to
+    2 partitions, one task got the whole pile). A census datapoint of
+    ">150s, cancelled" is exactly as actionable as the true number,
+    and the sweep keeps moving."""
+    import threading
+
     best = None
     for _ in range(2):
+        sc = spark.sparkContext
+        sc.setJobGroup("census", op.name, interruptOnCancel=True)
+        timer = threading.Timer(
+            OP_TIMEOUT_S, lambda: sc.cancelJobGroup("census")
+        )
+        timer.start()
         t0 = time.perf_counter()
-        op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            if time.perf_counter() - t0 >= OP_TIMEOUT_S - 1:
+                raise TimeoutError(
+                    f"cancelled after {OP_TIMEOUT_S:.0f}s"
+                ) from exc
+            raise
+        finally:
+            timer.cancel()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best
