@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..exprs import davg
 from ..plans.registry import register
 from ..tables import table
 
@@ -181,17 +182,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_theta",
     group="J",
     oracle="""
-    SELECT s.s_suppkey, c.c_custkey
-    FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal
+    SELECT c.c_custkey, t.nationkey
+    FROM customer c
+    JOIN (
+      SELECT s_nationkey AS nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM supplier GROUP BY s_nationkey
+    ) t ON c.c_acctbal > t.avg_bal
     """,
 )
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure non-equi predicate -> BroadcastNestedLoopJoin. The supplier
-    side is O(1)-sized, so broadcasting it bounds the cost at any SF."""
+    """Pure non-equi predicate -> BroadcastNestedLoopJoin: customers
+    whose balance beats each nation's average supplier balance. The
+    broadcast side is a 25-row aggregate (one per nation), so cost AND
+    output are O(25 x |customer|) — linear at any SF. The previous
+    formulation (supplier.acctbal < customer.acctbal raw) had a
+    quadratic ANSWER — both sides scale with SF, so ~half the cross
+    product qualifies; the 10x census measured 74x wall from output
+    volume alone. A theta join is only a sane operator when one side
+    is genuinely bounded; this rewrite keeps the
+    BroadcastNestedLoopJoin demo and makes the bound real. The average
+    uses the decimal-exact sum/count form (exprs.davg) so the
+    inequality boundary is bit-identical across engines."""
     s = table(spark, sf_dir, "supplier")
+    t = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        davg("s_acctbal", "avg_bal")
+    )
     c = table(spark, sf_dir, "customer")
-    return F.broadcast(s).join(c, s.s_acctbal < c.c_acctbal).select(
-        "s_suppkey", "c_custkey"
+    return (
+        F.broadcast(t)
+        .join(c, c.c_acctbal > t.avg_bal)
+        .select("c_custkey", "nationkey")
     )
 
 

@@ -48,14 +48,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_near", group="L", oracle=None)
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH over 3-token shingles:
-    shingle -> sparse vector (HashingTF) -> MinHash signatures ->
-    approxSimilarityJoin, which joins only colliding LSH buckets —
-    NEVER an all-pairs cross join. Fixed seed; rows-only check
-    (MinHash permutations are engine-specific). Jaccard distance
-    threshold 0.5 == similarity >= 0.5."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Near-duplicate pairs via banded MinHash-LSH over 3-token
+    shingles, hand-rolled in DataFrame primitives: 16 xxhash64-seeded
+    minhashes per doc, AND-composed into 8 bands of 2 (bucket key =
+    hash of the band's two mins), bucket-join the band collisions,
+    then exact shingle-set Jaccard >= 0.5 on the survivors. rows-only
+    (DuckDB has no xxhash64); deterministic, so run-twice and
+    layout-invariance hold bit-exactly.
 
+    Why not Spark ML's MinHashLSH.approxSimilarityJoin (the previous
+    implementation): its OR-amplification joins on SINGLE minhash
+    values, and a single globally-common shingle that owns the minimum
+    drags the ENTIRE corpus into one bucket — the 10x scaling census
+    measured the resulting whole-corpus self-join as a >150s wedge on
+    one AQE-coalesced task at a mere 50k docs. AND-composition of 2
+    mins per band is the textbook fix (two independent minima must
+    both collide), and 8 bands keep recall: a true pair at Jaccard s
+    collides with prob 1-(1-s^2)^8 (0.90 at the s=0.5 threshold,
+    ~1-2e-5 at the planted-recall test's s=0.86). Residual hot buckets
+    (mass-duplicated boilerplate) are additionally neighborhood-capped
+    at 16 rank positions via the same rn-DIV-16 two-sided bucket join
+    as dedup_levenshtein/banded_candidates, so joined rows stay
+    O(16 H) per bucket no matter how degenerate the pile."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -77,18 +91,75 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, y) -> concat_ws(' ', x, y))"
         ),
     ).select("doc_id", "shingles")
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    vecs = tf.transform(shingled).filter(F.expr("size(shingles) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    # ONE select end-to-end per doc: sset -> 16 mins -> 8 band keys
+    # (aliased columns are safe here — each is referenced once, so
+    # CollapseProject cannot multiply hash passes).
+    sig = (
+        shingled.withColumn("sset", F.array_distinct("shingles"))
+        .filter(F.expr("size(sset) > 0"))
         .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1 - F.col("jaccard_dist"), 4).alias("jaccard_sim"),
+            "doc_id",
+            "sset",
+            F.expr(
+                "transform(sequence(0, 15),"
+                " i -> array_min(transform(sset, s -> xxhash64(i, s))))"
+            ).alias("mh"),
         )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 7), j -> xxhash64("
+                "mh[cast(2*j AS int)], mh[cast(2*j+1 AS int)]))"
+            )
+        ).alias("band", "bkey"),
+    )
+    nbr = 16
+    ranked = bands.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("band", "bkey").orderBy("doc_id")),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        "band",
+        "bkey",
+        F.col("rn").alias("rn_a"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.expr(f"rn_a DIV {nbr}"), F.expr(f"rn_a DIV {nbr} + 1"))
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("rn").alias("rn_b"),
+    ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= nbr),
+        )
+        .select("id_a", "id_b")  # rank order is doc_id order: id_a < id_b
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", jac)
+        .filter(F.col("jaccard_sim") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
 
 
@@ -672,41 +743,100 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_lsh", group="L", oracle=None)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH
-    (BucketedRandomProjectionLSH, fixed seed): vectors land in hash
-    buckets; approxSimilarityJoin joins ONLY bucket collisions — the
-    scale path when the query side is not small. rows-only: projection
-    directions are engine-internal randomness (seeded, so stable
-    within Spark)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Approximate top-5 NN per query via banded random-projection
+    (E2LSH-style) bucketing, hand-rolled in DataFrame primitives:
+    16 deterministic projections (hyperplane component (i, k) =
+    xxhash64(i, k) mapped to [-1, 1] — no driver-side randomness, no
+    fitted model), AND-composed into 8 bands of 2 quantized
+    projections (width 0.5), bucket-join query bands against corpus
+    bands, exact euclidean on the distinct candidates, top-5 per query
+    by (distance, neighbor_id). rows-only: DuckDB has no xxhash64;
+    recall vs brute force is pinned by tests/test_llm_ops.py.
 
+    Why not ML's BucketedRandomProjectionLSH.approxSimilarityJoin (the
+    previous implementation): with unit vectors its single-projection
+    tables at bucketLength 2.0 degenerate to ~2 buckets per table, so
+    every query met ~half the corpus 4 times over and the 'threshold
+    3.0' output (> the unit-vector diameter 2) was ALL of it — the 10x
+    census measured 57x wall from what was effectively a full
+    query x corpus join. AND-ing two quantized projections per band
+    makes buckets selective (a random pair must agree on BOTH cells),
+    8 OR-bands keep near-pair recall, and the top-5 contract bounds
+    the output at O(5 |queries|) no matter how the corpus grows —
+    the same contract as sim_ann_ivf, which is the honest shape for
+    ANN at 100 TB."""
     e = (
         table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())  # no vector, no buckets
-        .select(
-            "vec_id",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    # 16 projections per vector; component (i, k) of hyperplane i is a
+    # deterministic hash of (i, k) scaled to [-1, 1], normalized by the
+    # expected hyperplane norm sqrt(d/3) so the quantization width
+    # means the same thing at any dimensionality.
+    proj = (
+        "transform(sequence(0, 15), i -> aggregate("
+        " zip_with(embedding, sequence(0, size(embedding) - 1),"
+        "  (x, k) -> cast(x AS double)"
+        "   * (cast(xxhash64(i, k) AS double) / 9.223372036854776e18)),"
+        " cast(0 AS double), (a, x) -> a + x)"
+        " / sqrt(cast(size(embedding) AS double) / 3.0))"
+    )
+    sig = e.select("vec_id", "embedding", F.expr(proj).alias("p"))
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 7), j -> xxhash64("
+                " cast(floor(p[cast(2*j AS int)] / 0.5) AS bigint),"
+                " cast(floor(p[cast(2*j+1 AS int)] / 0.5) AS bigint)))"
+            )
+        ).alias("band", "bkey"),
+    )
+    qb = bands.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "band", "bkey"
+    )
+    cb = bands.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+    )
+    cand = (
+        qb.join(
+            cb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qe = sig.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    ne = sig.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ea, eb,"
+            " (x, y) -> (cast(x AS double) - cast(y AS double))"
+            "          * (cast(x AS double) - cast(y AS double))),"
+            " cast(0 AS double), (a, x) -> a + x)"
         )
     )
-    if e.isEmpty():
-        # LSH.fit refuses an empty dataset; empty corpus -> empty
-        # result, not a crash.
-        return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, euclid_dist double"
-        )
-    q = e.filter(F.col("vec_id") % 100 == 0)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", dist.alias("d"))
     )
-    model = lsh.fit(e)
-    pairs = model.approxSimilarityJoin(q, e, 3.0, distCol="euclid_dist")
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
     return (
-        pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
         .select(
-            F.col("datasetA.vec_id").alias("query_id"),
-            F.col("datasetB.vec_id").alias("neighbor_id"),
-            F.round("euclid_dist", 4).alias("euclid_dist"),
+            "query_id",
+            "neighbor_id",
+            F.round("d", 4).alias("euclid_dist"),
+            "rank",
         )
     )
 

@@ -86,9 +86,33 @@ def test_dedup_near_pairs_are_really_similar(spark, sf_dir):
 
 
 def test_ann_lsh_distances_are_exact_and_bounded(spark, sf_dir):
-    """approxSimilarityJoin post-filters candidates with the exact
-    metric, so every reported distance must satisfy the threshold and
-    match a numpy recomputation."""
+    """Candidates are post-filtered with the exact metric, so every
+    reported distance must match a numpy recomputation, every rank
+    must be in 1..5, and ranks must follow (distance, neighbor_id)
+    order within each query."""
+    import numpy as np
+
+    out = _OPS["sim_ann_lsh"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["rank"].between(1, 5).all()
+    emb = duckdb.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchdf()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in emb.itertuples()}
+    for row in out.sample(min(len(out), 50), random_state=0).itertuples():
+        true = float(np.linalg.norm(vecs[row.query_id] - vecs[row.neighbor_id]))
+        assert true == pytest.approx(row.euclid_dist, abs=1e-3)
+    for _, grp in out.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert g.euclid_dist.is_monotonic_increasing
+
+
+def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
+    """Recall side of the LSH check (the distance test above only pins
+    precision): the banded-bucket approximate top-5 must overlap the
+    exact euclidean top-5 per query substantially. Deterministic
+    (hash-derived hyperplanes), so a drop means the banding or
+    quantization changed, not luck."""
     import numpy as np
 
     out = _OPS["sim_ann_lsh"].fn(spark, sf_dir).toPandas()
@@ -96,36 +120,20 @@ def test_ann_lsh_distances_are_exact_and_bounded(spark, sf_dir):
     emb = duckdb.execute(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
     ).fetchdf()
-    vecs = {r.vec_id: np.asarray(r.embedding, dtype="float64") for r in emb.itertuples()}
-    for row in out.sample(min(len(out), 50), random_state=0).itertuples():
-        true = float(np.linalg.norm(vecs[row.query_id] - vecs[row.neighbor_id]))
-        assert row.euclid_dist <= 3.0
-        assert true == pytest.approx(row.euclid_dist, abs=1e-3)
-
-
-def test_ann_lsh_recall_against_bruteforce(spark, sf_dir):
-    """Recall side of the LSH check (the distance test above only pins
-    precision): of the TRUE pairs comfortably inside the 3.0 join
-    threshold (euclid <= 1.5), bucket collisions must surface at least
-    80%. Measured 93%+ with the op's fixed seed — deterministic, so a
-    drop means hashing/bucketing changed, not luck."""
-    import numpy as np
-
-    out = _OPS["sim_ann_lsh"].fn(spark, sf_dir).toPandas()
-    emb = duckdb.execute(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
-    ).fetchdf()
     ids = emb.vec_id.to_numpy()
     mat = np.stack([np.asarray(e, dtype="float64") for e in emb.embedding])
-    qids = ids[ids % 100 == 0]
-    got = {(r.query_id, r.neighbor_id) for r in out.itertuples()}
-    true = set()
-    for q in qids:
-        d = np.linalg.norm(mat - mat[ids == q][0], axis=1)
-        true.update((q, n) for n in ids[(d <= 1.5) & (ids != q)])
-    assert true, "fixture produced no inner-threshold pairs"
-    recall = len(got & true) / len(true)
-    assert recall >= 0.8, (recall, len(true))
+    recalls = []
+    for qid in out.query_id.unique():
+        qv = mat[ids == qid][0]
+        d = np.linalg.norm(mat - qv, axis=1)
+        order = sorted(
+            [(dd, i) for dd, i in zip(d, ids) if i != qid],
+            key=lambda t: (t[0], t[1]),
+        )
+        exact5 = {i for _, i in order[:5]}
+        got = set(out[out.query_id == qid].neighbor_id)
+        recalls.append(len(got & exact5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
 def test_ivf_recall_against_bruteforce(spark, sf_dir):

@@ -504,8 +504,10 @@ def test_dedup_candidate_generators_plan_shape(spark, sf_dir):
     its plan economy: dedup_ngram_jaccard shingles the corpus ONCE
     into arrays (<= 4 scans: rare self-join sides + fa/fb array sides;
     <= 2 explodes: the rare self-join) — the shared-CTE formulation
-    re-scanned and re-shingled 8x. dedup_levenshtein is one self-join
-    over a projected relation (<= 2 scans, 0 explodes)."""
+    re-scanned and re-shingled 8x. dedup_levenshtein is one
+    sorted-neighborhood self-join over a projected relation (<= 2
+    scans; exactly 1 explode — the two-sided rank-bucket explode that
+    puts rn DIV 16 in the equi-join key)."""
     plan = (
         _OPS["dedup_ngram_jaccard"]
         .fn(spark, sf_dir)
@@ -525,7 +527,7 @@ def test_dedup_candidate_generators_plan_shape(spark, sf_dir):
         .toString()
     )
     assert plan.count("FileScan") <= 2, plan
-    assert plan.count("Generate explode") == 0, plan
+    assert plan.count("Generate explode") == 1, plan
     assert "CartesianProduct" not in plan
 
 
