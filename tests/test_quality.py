@@ -531,6 +531,45 @@ def test_dedup_candidate_generators_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_candidate_joins_carry_bucket_in_equi_keys(spark, sf_dir):
+    """The round-5 hand-rolled LSH ops are linear ONLY because the band
+    bucket is part of the hash-join key (a residual-only formulation
+    hash-joins whole bands and re-grows quadratic): dedup_near's
+    candidate join must key on (band, bkey, bkt) and sim_ann_lsh's on
+    (band, bkey), with no cartesian/nested-loop fallback anywhere in
+    either plan."""
+    import re
+
+    for name, keys in (
+        ("dedup_near", ("band", "bkey", "bkt")),
+        ("sim_ann_lsh", ("band", "bkey")),
+    ):
+        plan = (
+            _OPS[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        join_lines = [
+            ln for ln in plan.splitlines() if re.search(r"HashJoin|SortMergeJoin", ln)
+        ]
+        # the candidate join's LEFT key list (first [...] on the line)
+        # must contain every bucket component as an equi key
+        band_joins = []
+        for ln in join_lines:
+            m = re.search(r"Join \[([^\]]*)\]", ln)
+            if m and "band" in m.group(1):
+                band_joins.append(m.group(1))
+        assert band_joins, (name, join_lines)
+        for k in keys:
+            assert any(
+                re.search(rf"\b{k}#\d+", key_list) for key_list in band_joins
+            ), (name, k, band_joins)
+
+
 def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
     """join_salted's point is physical: the join condition must be
     (key, salt) — so when the dim side is too big to broadcast and the
