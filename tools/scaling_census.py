@@ -31,10 +31,13 @@ SKIP_OPS = {
     "join_dpp",
 }
 
-SF01 = "/root/testdata/sf0.1"
-SF10 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".avro_cache", "scaled_sf1.0",
+SF01 = os.environ.get("CENSUS_BASE_DIR", "/root/testdata/sf0.1")
+SF10 = os.environ.get(
+    "CENSUS_SCALED_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".avro_cache", "scaled_sf1.0",
+    ),
 )
 
 
