@@ -91,18 +91,27 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, y) -> concat_ws(' ', x, y))"
         ),
     ).select("doc_id", "shingles")
-    # ONE select end-to-end per doc: sset -> 16 mins -> 8 band keys
-    # (aliased columns are safe here — each is referenced once, so
-    # CollapseProject cannot multiply hash passes).
+    # ONE select end-to-end per doc: shingle strings hash to 64-bit
+    # ints FIRST (sset is the int set), so (a) every downstream pass —
+    # 16 minhashes, the pair shuffle, the exact Jaccard — works on
+    # 8-byte longs instead of ~20-char strings (the candidate-pair
+    # shuffle at the 100x fixture moves ~8M sset pairs; long arrays
+    # are ~2.5x smaller), and (b) Jaccard on the int sets equals
+    # Jaccard on the string sets barring a 2^-64 shingle-hash
+    # collision. Aliased columns are referenced once each, so
+    # CollapseProject cannot multiply hash passes.
     sig = (
-        shingled.withColumn("sset", F.array_distinct("shingles"))
+        shingled.withColumn(
+            "sset",
+            F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))"),
+        )
         .filter(F.expr("size(sset) > 0"))
         .select(
             "doc_id",
             "sset",
             F.expr(
                 "transform(sequence(0, 15),"
-                " i -> array_min(transform(sset, s -> xxhash64(i, s))))"
+                " i -> array_min(transform(sset, h -> xxhash64(i, h))))"
             ).alias("mh"),
         )
     )
@@ -151,8 +160,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
-        F.array_union("sa", "sb")
+    # Equal-set fast path: duplicate-heavy buckets are mostly
+    # IDENTICAL shingle sets; array equality is one O(n) pass vs
+    # intersect+union's hash-set builds, and Jaccard of equal sets is
+    # exactly 1.0 either way.
+    jac = F.when(F.col("sa") == F.col("sb"), F.lit(1.0)).otherwise(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb"))
     )
     return (
         cand.join(sa, "id_a")

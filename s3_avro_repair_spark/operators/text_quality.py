@@ -551,7 +551,13 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("head").alias("head_b"),
         F.col("rn").alias("rn_b"),
     ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
-    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    # Equal-head fast path: a boilerplate pile is mostly IDENTICAL
+    # heads, and Spark's levenshtein is O(len^2) even for equal inputs
+    # — the string equality check is O(len) and settles the dominant
+    # share of pairs in duplicate-heavy data. Same values either way.
+    dist = F.when(F.col("head_a") == F.col("head_b"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("head_a"), F.col("head_b"))
+    )
     return (
         a.join(
             b,
