@@ -62,9 +62,11 @@ HEADLINE = [
 # polluting the comparable headline total; guard bounds apply per-tier.
 SECONDARY = [
     "graph_pagerank",         # 10 fixed power-iteration rounds
-    "dedup_levenshtein",      # banded blocking + edit-distance UDF
+    "dedup_levenshtein",      # sorted-neighborhood blocking + edit distance
     "dedup_ngram_jaccard",    # df-capped shingle candidates + exact pass
     "dedup_clusters_bigstar", # O(log n) big-star/small-star CC
+    "dedup_near",             # banded MinHash + rank-capped bucket join
+    "sim_ann_lsh",            # banded E2LSH + 256-member probe budget
 ]
 
 
