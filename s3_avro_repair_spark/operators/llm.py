@@ -308,10 +308,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles").alias("sh_b"),
         F.col("n").alias("nb"),
     )
+    # Equal-array fast path: duplicate-heavy corpora make identical
+    # (already-distinct) shingle arrays the common candidate case, and
+    # the O(n) equality check skips the intersect's hash-set build.
+    # both == size(sh_a) == na there, so the value is unchanged.
     scored = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
-        .withColumn("both", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "both",
+            F.when(F.col("sh_a") == F.col("sh_b"), F.col("na")).otherwise(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+            ),
+        )
     )
     jac = F.col("both").cast("double") / (
         F.col("na") + F.col("nb") - F.col("both")
