@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import importlib
+import inspect
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -33,6 +35,9 @@ class Op:
     fn: QueryFn
     oracle: str | None = None
     doc: str = field(default="", compare=False)
+    # md5 over (query-fn source, oracle text) — see fingerprint().
+    src_hash: str = field(default="", compare=False)
+    fingerprint: str = field(default="", compare=False)
 
 
 _REGISTRY: dict[str, Op] = {}
@@ -108,8 +113,23 @@ def register(name: str, group: str, oracle: str | Callable[[], str] | None = Non
             tune_for_oracle(spark)
             return fn(spark, sf_dir)
 
+        # Source hash captured from the UNDECORATED fn at registration
+        # (getsource on the wrapper would read this file, not the op).
+        # Combined with the resolved oracle text into Op.fingerprint by
+        # load_all(); a key whose fingerprint drifted since its last
+        # driver attestation floats back into the window (see
+        # _stale_fingerprint_keys).
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = fn.__qualname__
         _REGISTRY[name] = Op(
-            name=name, group=group, fn=wrapped, oracle=oracle, doc=fn.__doc__ or ""
+            name=name,
+            group=group,
+            fn=wrapped,
+            oracle=oracle,
+            doc=fn.__doc__ or "",
+            src_hash=hashlib.md5(src.encode()).hexdigest(),
         )
         return fn
 
@@ -124,8 +144,14 @@ def load_all() -> dict[str, Op]:
             importlib.import_module(mod)
         for name, op in list(_REGISTRY.items()):
             if callable(op.oracle):
-                _REGISTRY[name] = dataclasses.replace(op, oracle=op.oracle())
-        attested = _attested_keys()
+                op = dataclasses.replace(op, oracle=op.oracle())
+            _REGISTRY[name] = dataclasses.replace(
+                op,
+                fingerprint=hashlib.md5(
+                    f"{op.src_hash}\n--oracle--\n{op.oracle or ''}".encode()
+                ).hexdigest(),
+            )
+        attested = effective_attested_keys(_REGISTRY)
         position = {k: i for i, k in enumerate(_REGISTRY)}
         ordered = sorted(_REGISTRY, key=lambda n: (n in attested, position[n]))
         reordered = {n: _REGISTRY[n] for n in ordered}
@@ -133,6 +159,41 @@ def load_all() -> dict[str, Op]:
         _REGISTRY.update(reordered)
         _loaded = True
     return dict(_REGISTRY)
+
+
+def effective_attested_keys(ops: dict[str, Op]) -> frozenset[str]:
+    """Attested-for-ordering-purposes: the driver said green AND the
+    op is still the thing the driver saw. A key whose (source, oracle)
+    fingerprint drifted since its last recorded attestation floats
+    back to the front of the rotation, so the next 50-key window
+    re-checks the CURRENT semantics instead of trusting a record that
+    attested different code (the r5 join_theta/fn_variant gap)."""
+    return _attested_keys() - _stale_fingerprint_keys(ops)
+
+
+def _stale_fingerprint_keys(ops: dict[str, Op]) -> frozenset[str]:
+    """Keys whose current fingerprint differs from the one recorded at
+    their last driver attestation (plans/fingerprints.json, refreshed
+    at round start by tools/update_fingerprints.py BEFORE any edit —
+    at that moment current source/oracle == what the driver just
+    attested). A key missing from the file is stale too (green record
+    but no known-good fingerprint). No file -> no floating: the
+    mechanism degrades to the plain record-based rotation."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fingerprints.json")
+    try:
+        with open(path) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        return frozenset()
+    if not isinstance(recorded, dict):
+        return frozenset()
+    return frozenset(
+        k for k, op in ops.items() if recorded.get(k) != op.fingerprint
+    )
 
 
 def _attested_keys() -> frozenset[str]:

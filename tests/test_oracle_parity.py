@@ -176,7 +176,7 @@ def test_attestation_window():
     import subprocess
     import sys
 
-    from s3_avro_repair_spark.plans.registry import _attested_keys
+    from s3_avro_repair_spark.plans.registry import effective_attested_keys
 
     assert len(R4_WINDOW) == 50
     out = subprocess.run(
@@ -192,7 +192,7 @@ def test_attestation_window():
         check=True,
     )
     ordered = json.loads(out.stdout.strip().splitlines()[-1])
-    attested = _attested_keys() & set(ordered)
+    attested = effective_attested_keys(_OPS) & set(ordered)
     unattested = [k for k in ordered if k not in attested]
     # All never-attested keys sort before every attested key.
     assert unattested == ordered[: len(unattested)]
@@ -248,10 +248,16 @@ def test_attested_keys_reader_matches_records():
     )
     if newest_km == 4:
         assert "kmeans_quantized" not in att
+    # Ordering uses the EFFECTIVE set: record-green minus
+    # fingerprint-stale (source/oracle drifted since attestation).
+    from s3_avro_repair_spark.plans.registry import effective_attested_keys
+
+    eff = effective_attested_keys(_OPS)
+    assert eff <= att  # floating can only shrink the set, never grow it
     names = list(_OPS)
-    split = sum(1 for n in names if n not in att)
-    assert all(n not in att for n in names[:split])
-    assert all(n in att for n in names[split:])
+    split = sum(1 for n in names if n not in eff)
+    assert all(n not in eff for n in names[:split])
+    assert all(n in eff for n in names[split:])
 
 
 def test_attested_keys_excludes_errored_records(tmp_path, monkeypatch):
