@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..session import spread_partitions
 from ..tables import table
 from .quantiles import exact_quantiles
 
@@ -188,16 +189,23 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_ivf", group="X", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a KMeans coarse quantizer (fixed seed) assigns
-    every vector to a centroid cell; queries probe only their own cell
-    (nprobe=1 here), so the candidate set per query is |corpus|/k and
-    the scan never goes all-pairs — the inverted-file layout FAISS-style
-    systems use, built from public pyspark.ml parts. rows-only: k-means
-    initialization is engine-internal randomness (seeded, stable within
-    Spark); tests/test_llm_ops.py checks recall against brute force."""
+    """IVF-style ANN: a KMeans coarse quantizer (k=10, fixed seed)
+    assigns every corpus vector to ONE centroid cell; each query
+    multi-probes its nprobe=3 nearest cells (ranked by exact distance
+    to the broadcast centroid table), so the candidate set per query is
+    ~nprobe/k of the corpus and the scan never goes all-pairs — the
+    inverted-file layout FAISS-style systems use, built from public
+    pyspark.ml parts. Multi-probe is the standard IVF recall lever: at
+    nprobe=1 a true neighbor just across a cell boundary is invisible
+    (measured recall 0.20 at sf0.01); at nprobe=3 measured recall@5 vs
+    brute force is 0.84 at both fixture SFs (sim_ann_ivf_recall pins
+    >= 0.6 as the driver-checked contract). rows-only: k-means
+    initialization is engine-internal randomness (seeded, stable
+    within Spark)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    k, nprobe = 10, 3
     e = (
         table(spark, sf_dir, "embeddings")
         # no vector (or a non-finite one KMeans cannot take a distance
@@ -212,46 +220,80 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             array_to_vector(F.col("embedding").cast("array<double>")).alias("vec"),
         )
     )
-    # One bounded driver probe (scan stops at 8 rows) covers BOTH
+    # One bounded driver probe (scan stops at k rows) covers BOTH
     # degenerate shapes: an empty corpus has an empty neighbor list,
     # and a corpus smaller than k crashes KMeans.fit outright
     # (ArrayIndexOutOfBounds in Spark 4.1) — below k vectors there is
     # nothing to quantize, so everything shares one cell and the
     # "IVF" is just the exact search it would degenerate to anyway.
-    probe = e.take(8)
+    probe = e.take(k)
     if not probe:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
         )
-    if len(probe) < 8:
+    if len(probe) < k:
         cells = e.select("vec_id", "embedding", F.lit(0).alias("cell"))
+        centroids = spark.createDataFrame(
+            [(0, [0.0])], "cell int, cvec array<double>"
+        )
+        nprobe = 1
     else:
-        km = KMeans(k=8, seed=42, featuresCol="vec", predictionCol="cell")
-        cells = km.fit(e).transform(e).select("vec_id", "embedding", "cell")
+        km = KMeans(k=k, seed=42, featuresCol="vec", predictionCol="cell").fit(e)
+        cells = km.transform(e).select("vec_id", "embedding", "cell")
+        # k centroid vectors — a fixed-size driver-side model artifact
+        # (k x dim floats), broadcast like any dimension table.
+        centroids = spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in c])
+                for i, c in enumerate(km.clusterCenters())
+            ],
+            "cell int, cvec array<double>",
+        )
     from .llm import _norm
 
     q = cells.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("ea"),
-        F.col("cell").alias("qcell"),
         _norm("embedding").alias("na"),
     )
+    if nprobe == 1:
+        qcells = q.withColumn("cell", F.lit(0))
+    else:
+        # Rank the k centroids per query by exact euclidean distance,
+        # keep the nprobe nearest. The join is broadcast (k rows);
+        # the window partitions by query, so no skew and no big sort.
+        d2 = F.expr(
+            "aggregate(zip_with(ea, cvec,"
+            " (x, y) -> (cast(x AS double) - y) * (cast(x AS double) - y)),"
+            " cast(0 AS double), (a, v) -> a + v)"
+        )
+        w_probe = Window.partitionBy("query_id").orderBy("d2", "cell")
+        qcells = (
+            q.join(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .withColumn("pr", F.row_number().over(w_probe))
+            .filter(F.col("pr") <= nprobe)
+            .select("query_id", "ea", "na", "cell")
+        )
     cand = cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("eb"),
-        F.col("cell"),
+        "cell",
         _norm("embedding").alias("nb"),
-    ).repartition(32)
+    ).transform(spread_partitions)  # no-op once the scan has >= cores partitions
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     scored = (
-        F.broadcast(q)
-        .join(cand, (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        F.broadcast(qcells)
+        .join(cand, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cos)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+        # multi-probe can reach the same neighbor through one cell only
+        # (cells partition the corpus), so no distinct needed
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cosine"))
     )
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
+from ..session import spread_partitions
 from ..tables import table
 
 # ---------------------------------------------------------------------------
@@ -125,9 +126,22 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "bkey"),
     )
     nbr = 16
+    # Rank order is a PER-BAND hash of the doc id, not global doc_id
+    # order: with doc_id order all 8 bands were correlated for a
+    # mass-duplicate pile (a true pair >16 rank positions apart in one
+    # band was >16 apart in all of them — r5 ADVICE). Under
+    # independent per-band orders a pair that misses the neighborhood
+    # cap in one band gets 7 fresh draws, and within ONE bucket the
+    # <=16-apart pairs chain the whole pile transitively either way
+    # (pinned by tests/test_llm_ops.py::test_hot_bucket_pile_chains).
+    # doc_id tiebreak keeps the order total and deterministic.
     ranked = bands.withColumn(
         "rn",
-        F.row_number().over(Window.partitionBy("band", "bkey").orderBy("doc_id")),
+        F.row_number().over(
+            Window.partitionBy("band", "bkey").orderBy(
+                F.xxhash64("band", "doc_id"), "doc_id"
+            )
+        ),
     )
     a = ranked.select(
         F.col("doc_id").alias("id_a"),
@@ -155,7 +169,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rn_b") - F.col("rn_a") >= 1)
             & (F.col("rn_b") - F.col("rn_a") <= nbr),
         )
-        .select("id_a", "id_b")  # rank order is doc_id order: id_a < id_b
+        # hash-rank order is NOT id order: normalize to id_a < id_b
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
@@ -649,7 +667,7 @@ def banded_candidates(spark: SparkSession, sf_dir: str, band: int) -> DataFrame:
             F.col("embedding").alias("ea"),
             F.col("nrm").alias("na"),
         )
-        .repartition(32)  # tiny fixture reads as 1 partition; spread pair gen
+        .transform(spread_partitions)  # no-op once the scan has >= cores partitions
         .withColumn(
             "bkt",
             F.explode(
@@ -750,7 +768,7 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
-    ).repartition(32)  # corpus side: restore scan parallelism locally
+    ).transform(spread_partitions)  # no-op once the scan has >= cores partitions
     pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     scored = pairs.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -1024,7 +1042,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
-    ).repartition(32)
+    ).transform(spread_partitions)  # no-op once the scan has >= cores partitions
     pairs = F.broadcast(q).join(c, F.col("neighbor_id") != F.col("query_id"))
     cos = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return pairs.filter(cos >= 0.35).select("query_id", "neighbor_id")

@@ -305,7 +305,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
             ).alias("doc_ids"),
         )
-        .select("band_no", "band_value", "n_docs", "doc_ids")
+        # truncated: doc_ids holds only the first 1024 members while
+        # n_docs reports the true count — without the flag a consumer
+        # generating pairs from doc_ids silently misses the tail
+        # (r5 ADVICE). True => re-shard the degenerate band, don't
+        # treat doc_ids as the full candidate list.
+        .select(
+            "band_no",
+            "band_value",
+            "n_docs",
+            "doc_ids",
+            (F.col("n_docs") > 1024).alias("truncated"),
+        )
     )
 
 

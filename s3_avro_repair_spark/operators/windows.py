@@ -24,6 +24,17 @@ from ..plans.registry import register
 from ..tables import table
 
 
+def _range_parts(spark: SparkSession) -> int:
+    """Partition count for the two-phase (range-exchange + local
+    window + broadcast prefix offsets) plans below. The range exchange
+    is load-bearing — only the WIDTH is environment-derived: one range
+    per executor core (defaultParallelism), never a literal, so the
+    per-chunk side tables stay <= cores rows and a 1000-executor
+    cluster gets 1000-way parallel heavy stages instead of a
+    hard-coded 8/16."""
+    return spark.sparkContext.defaultParallelism
+
+
 @register(
     "window_rank",
     group="W",
@@ -116,7 +127,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
     )
     ranged = li.repartitionByRange(
-        16, "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+        _range_parts(spark), "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
     ).withColumn("pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("pid", "l_returnflag")
@@ -124,7 +135,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("local_sum", F.sum(dec2("l_quantity")).over(w_local))
-    # <= 16 x 3 rows: the prefix-offset side table is always tiny.
+    # <= cores x 3 rows: the prefix-offset side table is always tiny.
     # Derived from `ranged`, NOT `local`: the chunk totals don't need
     # the window, and the shared range-exchange is reused (AQE stage
     # reuse), so this branch costs one cheap hash agg instead of a
@@ -280,9 +291,9 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is parallel — this survives 100x.
     """
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    ranged = c.repartitionByRange(8, "c_acctbal", "c_custkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    ranged = c.repartitionByRange(
+        _range_parts(spark), "c_acctbal", "c_custkey"
+    ).withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
     ranked = ranged.withColumn("lrn", F.row_number().over(w_local))
     # Per-partition counts: tiny (<= #partitions rows), so the
@@ -351,7 +362,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     ranged = o.repartitionByRange(
-        8, "o_orderstatus", "o_totalprice", "o_orderkey"
+        _range_parts(spark), "o_orderstatus", "o_totalprice", "o_orderkey"
     ).withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("pid", "o_orderstatus").orderBy(
         "o_totalprice", "o_orderkey"
@@ -360,7 +371,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ranked.groupBy("pid", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # Tiny side table: prefix/total per status over <= 8x3 rows.
+    # Tiny side table: prefix/total per status over <= cores x 3 rows.
     w_prefix = (
         Window.partitionBy("o_orderstatus")
         .orderBy("pid")
@@ -992,7 +1003,7 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
     )
     ranged = flagged.repartitionByRange(
-        16, "event_type", "ts", "event_id"
+        _range_parts(spark), "event_type", "ts", "event_id"
     ).withColumn("pid", F.spark_partition_id())
     # first_seen as the FINAL tiebreak: true duplicate rows share
     # (ts, event_id) and differ ONLY in the derived flag — without it

@@ -82,6 +82,10 @@ _OP_MODULES = [
     "s3_avro_repair_spark.operators.windows",       # W
     "s3_avro_repair_spark.operators.sorts",         # O
     "s3_avro_repair_spark.functions.scalar",        # F
+    # LAST on purpose: companion-bound keys are never-attested at
+    # introduction (r6) and must sort BEHIND the F/O/W keys still
+    # waiting for their first attestation window.
+    "s3_avro_repair_spark.operators.companions",    # G/L/S/X companions
 ]
 
 _loaded = False
@@ -134,6 +138,18 @@ def register(name: str, group: str, oracle: str | Callable[[], str] | None = Non
         return fn
 
     return deco
+
+
+def registered_oracle(name: str) -> str:
+    """The already-registered oracle text of another op — for
+    companion ops whose DuckDB oracle wraps a base op's oracle (the
+    base module imports first, so its plain-string oracle is resolved).
+    Callable (lazy) oracles aren't supported as bases: resolve order
+    inside load_all() would matter."""
+    op = _REGISTRY[name]
+    if not isinstance(op.oracle, str):
+        raise TypeError(f"oracle of {name} is not a resolved string")
+    return op.oracle
 
 
 def load_all() -> dict[str, Op]:

@@ -54,6 +54,27 @@ def get_session(
     return builder.getOrCreate()
 
 
+def spread_partitions(df, min_factor: float = 1.0):
+    """Spread a SMALL scanned relation across the cluster before
+    CPU-heavy downstream work (pair generation, per-row vector math).
+
+    The fixture parquet files are a single row-group, so the scan
+    yields 1-2 partitions and everything after it runs on one core.
+    Production scans of the same relation yield thousands of splits —
+    there the repartition would be a pure extra shuffle of the corpus
+    (SCALING.md: post-scan repartitions are strictly wrong at 100 TB).
+    So: derive the target from the cluster (defaultParallelism — total
+    executor cores, never a literal) and SKIP the exchange entirely
+    when the plan already carries at least that many partitions.
+    getNumPartitions() inspects the physical plan without running a
+    job; cost is one plan conversion on the driver."""
+    spark = df.sparkSession
+    target = int(spark.sparkContext.defaultParallelism * min_factor)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Runtime-settable knobs applied by the registry wrapper around
     EVERY registered query (``plans/registry.py::register``), so results

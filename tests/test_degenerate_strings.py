@@ -95,3 +95,52 @@ def test_degenerate_string_parity(name, spark, degen_sf_dir, degen_duck):
     ddf = degen_duck.execute(op.oracle).fetchdf()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_brace_prefix_damage_never_parses(spark):
+    """fn_variant's damage kernel argues that prefixing ``{{`` makes
+    ANY payload invalid JSON (functions/scalar.py): after ``{`` only
+    ``"`` or ``}`` may follow, and a second ``{`` is neither. The r4
+    kmeans lesson is that an argued property needs an adversarial
+    sweep BEFORE its attestation window — so pin it on both engines:
+    Spark's try_parse_json must return NULL and DuckDB's json_valid
+    false for '{{' + s over hypothesis-generated strings plus the
+    hand-picked worst cases (closers, quotes, valid JSON, nesting
+    completers)."""
+    import json
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    adversarial = [
+        "", "}", "}}", '"k": 1}}', '"k"}', "}{", '\\"}}',
+        json.dumps({"k": 1}), "null}}", " }}", "\t}}", "1}}",
+        '"a"}}', "[]}}", "[]}", '}},"x":1', "\u00a0}}", "\uffff}}",
+    ]
+    payloads = adversarial + [f"x{i}" for i in range(8)]
+    sdf = spark.createDataFrame(
+        [(i, "{{" + s) for i, s in enumerate(payloads)],
+        "i long, damaged string",
+    )
+    parsed = sdf.orderBy("i").select(
+        F.try_parse_json("damaged").isNotNull().alias("ok")
+    )
+    assert [r.ok for r in parsed.collect()] == [False] * len(payloads)
+
+    con = duckdb.connect()
+
+    def duck_invalid(s: str) -> bool:
+        return not con.execute(
+            "SELECT json_valid(?)", ["{{" + s]
+        ).fetchone()[0]
+
+    assert all(duck_invalid(s) for s in adversarial)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def _sweep(s: str):
+        assert duck_invalid(s)
+
+    _sweep()

@@ -452,3 +452,60 @@ def test_levenshtein_hot_prefix_band_bounds_block(spark, tmp_path_factory):
     sizes = {b: hot_bands.count(b) for b in set(hot_bands)}
     assert len(sizes) >= 4, sizes
     assert max(sizes.values()) <= 24, sizes
+
+
+def test_hot_bucket_pile_chains(spark, tmp_path_factory):
+    """r5 ADVICE tail-pin: a mass-duplicate pile far larger than the
+    rn-DIV-16 neighborhood cap (100 mutual near-dups sharing every
+    band bucket) must still come out TRANSITIVELY connected — the cap
+    bounds per-bucket join fanout, and within one bucket the
+    <=16-rank-apart pairs form a path over the whole pile, so
+    connectivity survives no matter how the (now per-band-hashed)
+    rank order shuffles the members. Also exercises dedup_simhash's
+    truncated flag: the same pile overflows no 1024 cap here, so the
+    flag must be False everywhere on this corpus and True on an
+    artificial n_docs>1024 check is left to the cap constant."""
+    tmp = tmp_path_factory.mktemp("hotpile")
+    rows = []
+    base = [f"pile_{j}" for j in range(60)]
+    pile_ids = list(range(1000, 1100))
+    for i, did in enumerate(pile_ids):
+        t = list(base)
+        t[30] = f"v{i}"  # one substitution: pairwise Jaccard ~0.93
+        rows.append((did, " ".join(t)))
+    for i in range(20):
+        rows.append((2000 + i, " ".join(f"bg{i}_{j}" for j in range(40))))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_near"].fn(spark, sf).toPandas()
+    pairs = [(int(r.id_a), int(r.id_b)) for r in out.itertuples()]
+    # all reported pairs stay inside the pile (backgrounds share no
+    # shingles with it)
+    members = set(pile_ids)
+    assert all(a in members and b in members for a, b in pairs), pairs[:5]
+    assert all(a < b for a, b in pairs)  # normalized after hash-ranking
+
+    # union-find: the pile must be ONE component
+    parent = {d: d for d in pile_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    roots = {find(d) for d in pile_ids}
+    assert len(roots) == 1, f"pile split into {len(roots)} components"
+
+    # bounded fanout: the cap keeps candidate pairs <= bands * nbr per
+    # member — LINEAR in pile size (all-pairs is quadratic: at n=100
+    # the bound is 12.8k vs 4950, but at n=10k it's 1.28M vs 50M).
+    # Decorrelated per-band orders push coverage toward the bound by
+    # design (that's the recall win); the scale contract is the bound.
+    assert len(pairs) <= 8 * 16 * len(pile_ids), len(pairs)
+
+    sim = _OPS["dedup_simhash"].fn(spark, sf).toPandas()
+    assert not sim.truncated.any()
+    assert (sim.n_docs <= 1024).all()

@@ -46,11 +46,11 @@ def test_contract_shape():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
-    # multi-format scans / maintenance ops + snappy/mixed-schema scans.
-    # Pinned EXACT (==, not >=): net-new ops are frozen until the
-    # driver's 50-keys/round attestation window covers all 227 — both
+    # multi-format scans / maintenance ops + snappy/mixed-schema scans
+    # + the 10 r6 companion-bound keys (hash-checkable contracts for
+    # the rows-only sketch ops). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 227
+    assert len(qs) == 237
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {

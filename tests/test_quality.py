@@ -210,6 +210,16 @@ def test_shuffle_budget_everywhere(spark, sf_dir):
         "window_funnel": 9,           # 3 stage aggs + joins + 3 counts
         "window_cumulative_distinct": 8,  # two-phase prefix sum
         "subquery_correlated_agg": 7,     # decorrelated agg + outer join
+        # r6 companion-bound ops legitimately run TWO pipelines — the
+        # sketch under test AND an exact baseline — plus the
+        # intersection joins that compare them, so their budget is
+        # roughly the sum of their parts (dedup_near_recall = dedup_near
+        # ~6 + ngram-jaccard truth ~4 + string-shingle precision pass):
+        "dedup_near_recall": 16,
+        "dedup_simhash_recall": 11,
+        "sim_ann_lsh_recall": 11,
+        "sim_ann_ivf_recall": 10,
+        "agg_distinct_kmv_bounds": 10,
     }
     default_budget = 6
     offenders = []
@@ -586,3 +596,37 @@ def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
     left, right = m.group(1), m.group(2)
     assert "o_custkey" in left and "salt" in left, left
     assert "c_custkey" in right and "salt" in right, right
+
+
+def test_no_literal_corpus_repartition(spark, sf_dir):
+    """Round-6 fix (VERDICT r5 item 2): the similarity ops' corpus-side
+    spread must be DERIVED from the cluster (defaultParallelism via
+    session.spread_partitions — skipped entirely when the scan already
+    has enough splits), never a hard-coded 32. At the test session's
+    local[8] any round-robin exchange in these plans must therefore be
+    8-way, and the helper must be a no-op on well-partitioned input."""
+    import re
+
+    from s3_avro_repair_spark.session import spread_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    for name in (
+        "sim_knn_topk", "sim_range_search", "sim_ann_ivf",
+        "sim_cosine_pairs", "dedup_embedding_cosine",
+    ):
+        plan = (
+            _OPS[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .sparkPlan()
+            .toString()
+        )
+        for n in re.findall(r"RoundRobinPartitioning\((\d+)", plan):
+            assert int(n) == target, (name, n, target)
+
+    # no-op path: input already carries >= cores partitions
+    wide = spark.range(0, 1000).repartition(target)
+    assert spread_partitions(wide) is wide
+    # spread path: a 1-partition relation gets exactly `target` slices
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread_partitions(narrow).rdd.getNumPartitions() == target

@@ -58,15 +58,24 @@ def time_op(op, spark, sf_dir: str) -> float:
     for _ in range(2):
         sc = spark.sparkContext
         sc.setJobGroup("census", op.name, interruptOnCancel=True)
-        timer = threading.Timer(
-            OP_TIMEOUT_S, lambda: sc.cancelJobGroup("census")
-        )
+        # Branch on an explicit cancelled FLAG, not elapsed wall time:
+        # classifying any exception after OP_TIMEOUT_S-1 as a timeout
+        # turned a genuine failure at ~149s into TimeoutError, and a
+        # cancellation surfacing early leaked as the raw Py4J error
+        # (r5 ADVICE — census labels were wrong near the boundary).
+        cancelled = threading.Event()
+
+        def _cancel():
+            cancelled.set()
+            sc.cancelJobGroup("census")
+
+        timer = threading.Timer(OP_TIMEOUT_S, _cancel)
         timer.start()
         t0 = time.perf_counter()
         try:
             op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:
-            if time.perf_counter() - t0 >= OP_TIMEOUT_S - 1:
+            if cancelled.is_set():
                 raise TimeoutError(
                     f"cancelled after {OP_TIMEOUT_S:.0f}s"
                 ) from exc
