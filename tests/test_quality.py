@@ -630,3 +630,46 @@ def test_no_literal_corpus_repartition(spark, sf_dir):
     # spread path: a 1-partition relation gets exactly `target` slices
     narrow = spark.range(0, 1000).coalesce(1)
     assert spread_partitions(narrow).rdd.getNumPartitions() == target
+
+
+def test_joined_rows_obey_linear_law(spark, sf_dir):
+    """r6 census upgrade made joined-rows (the join's WORK — sum of
+    numOutputRows over every executed join node) measurable per plan;
+    this pins the law the similarity ops' linearity stands on, with
+    analytic per-member bounds, not tuned constants:
+
+    - dedup_near: candidate join emits <= bands(8) x nbr(16) rows per
+      doc pre-distinct, plus two attach joins over <= that many
+      distinct pairs -> <= 3 x 128 x n. Bound: 512n.
+    - sim_cosine_pairs (banded_candidates band=20): every qualifying
+      pair meets exactly once -> candidates <= band x n. Bound: 2 x
+      band x n (slack for the bucket-explode double-count law).
+    - dedup_embedding_cosine (band=50): same law. Bound: 2 x 50 x n.
+    - sim_ann_lsh: <= 8 bands x 256 probe budget per query
+      pre-distinct + two attach joins -> <= 3 x 2048 x |q|.
+    - sim_knn_topk: brute force BY DESIGN — exactly |q| x (n-1)
+      broadcast-join rows, the documented quadratic-with-1%-queries
+      contract. Bound: |q| x n.
+
+    A regression that drops a bucket from an equi-join key (the r5
+    class of bug) blows these bounds by orders of magnitude."""
+    from tools.scaling_census import _join_output_rows
+
+    def joined(name):
+        df = _OPS[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.execute().count()
+        if plan.nodeName() == "AdaptiveSparkPlan":
+            plan = plan.executedPlan()
+        return _join_output_rows(plan)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    n_q = emb.filter("vec_id % 100 = 0").count()
+
+    assert joined("dedup_near") <= 512 * n_docs
+    assert joined("sim_cosine_pairs") <= 2 * 20 * n_vec
+    assert joined("dedup_embedding_cosine") <= 2 * 50 * n_vec
+    assert joined("sim_ann_lsh") <= 3 * 8 * 256 * n_q
+    assert joined("sim_knn_topk") <= n_q * n_vec

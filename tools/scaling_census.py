@@ -44,8 +44,45 @@ SF10 = os.environ.get(
 OP_TIMEOUT_S = float(os.environ.get("CENSUS_OP_TIMEOUT_S", "150"))
 
 
-def time_op(op, spark, sf_dir: str) -> float:
-    """min-of-2 wall time, with a per-attempt job-group timeout.
+def _join_output_rows(plan) -> int:
+    """Sum of numOutputRows over every join node in an EXECUTED
+    physical plan (AQE query stages descended via .plan()). This is
+    the r5 lesson made measurable: joined-rows is the join's WORK,
+    which can grow quadratically while output-rows stays flat — the
+    banded_candidates blowup was invisible in output counts."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.nodeName()
+        if "Join" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        try:
+            if "QueryStage" in name:
+                walk(node.plan())
+        except Exception:
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return total
+
+
+def time_op(op, spark, sf_dir: str) -> tuple[float, int]:
+    """(min-of-2 wall time, joined-rows), with a per-attempt job-group
+    timeout.
+
+    Run 1 executes through the noop sink (identical to bench.py); run 2
+    executes the SAME physical plan via plan.execute().count() — a
+    JVM-side RDD count, no driver materialization — so the executed
+    plan's join metrics are readable afterwards (a noop write executes
+    a separate command plan whose metrics aren't reachable).
 
     The first full-surface run wedged for >25 min inside ONE op
     (dedup_near at 10x: AQE coalesced an exploding LSH-bucket join to
@@ -55,7 +92,8 @@ def time_op(op, spark, sf_dir: str) -> float:
     import threading
 
     best = None
-    for _ in range(2):
+    joined = 0
+    for attempt in range(2):
         sc = spark.sparkContext
         sc.setJobGroup("census", op.name, interruptOnCancel=True)
         # Branch on an explicit cancelled FLAG, not elapsed wall time:
@@ -73,7 +111,19 @@ def time_op(op, spark, sf_dir: str) -> float:
         timer.start()
         t0 = time.perf_counter()
         try:
-            op.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = op.fn(spark, sf_dir)
+            if attempt == 0:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                plan = df._jdf.queryExecution().executedPlan()
+                plan.execute().count()
+                try:
+                    final = plan
+                    if plan.nodeName() == "AdaptiveSparkPlan":
+                        final = plan.executedPlan()
+                    joined = _join_output_rows(final)
+                except Exception:
+                    joined = -1  # metrics unreadable; wall still stands
         except Exception as exc:
             if cancelled.is_set():
                 raise TimeoutError(
@@ -84,7 +134,7 @@ def time_op(op, spark, sf_dir: str) -> float:
             timer.cancel()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    return best
+    return best, joined
 
 
 def fresh_session():
@@ -158,8 +208,8 @@ def main() -> int:
         if not only and (op.group in SKIP_GROUPS or name in SKIP_OPS):
             continue
         try:
-            t01 = time_op(op, spark, SF01)
-            t10 = time_op(op, spark, SF10)
+            t01, j01 = time_op(op, spark, SF01)
+            t10, j10 = time_op(op, spark, SF10)
         except Exception as exc:
             # str(Py4JJavaError) round-trips to the JVM; if the JVM is
             # the thing that died, that raises from inside this except.
@@ -171,13 +221,31 @@ def main() -> int:
             spark = ensure_alive(spark)
             continue
         ratio = t10 / t01 if t01 > 0 else float("inf")
-        rows.append((name, t01, t10, ratio))
-        print(f"{name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x)", flush=True)
+        jratio = (j10 / j01) if j01 and j01 > 0 and j10 >= 0 else None
+        rows.append((name, t01, t10, ratio, j01, j10, jratio))
+        jtxt = (
+            f" joined {j01} -> {j10}"
+            + (f" ({jratio:.1f}x)" if jratio is not None else "")
+            if j01 or j10
+            else ""
+        )
+        print(f"{name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x){jtxt}", flush=True)
 
     hot = sorted((r for r in rows if r[3] > flag), key=lambda r: -r[3])
-    print(f"\n{len(rows)} ops; {len(hot)} over {flag}x on 10x data:")
-    for name, t01, t10, ratio in hot:
+    print(f"\n{len(rows)} ops; {len(hot)} over {flag}x wall on scaled data:")
+    for name, t01, t10, ratio, *_ in hot:
         print(f"  {name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x)")
+    # Joined-rows law: at Kx data a linear join does Kx the work. Flag
+    # joins whose work grew past flag*K-equivalent (reuse the same
+    # multiplier: wall flag defaults 8 on 10x; joined-rows uses 2*flag
+    # to allow constant fan-in floors on tiny baselines).
+    jhot = [
+        r for r in rows if r[6] is not None and r[6] > 2 * flag and r[4] > 100
+    ]
+    jhot.sort(key=lambda r: -(r[6] or 0))
+    print(f"{len(jhot)} ops with joined-rows growth over {2 * flag:.0f}x:")
+    for name, _, _, _, j01, j10, jr in jhot:
+        print(f"  {name}: joined {j01} -> {j10} ({jr:.1f}x)")
     return 0
 
 
