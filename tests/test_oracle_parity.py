@@ -161,6 +161,36 @@ R5_WINDOW = {
 }
 
 
+R6_WINDOW = {
+    # floated by the r6 fingerprint mechanism (source/oracle edited
+    # since their last green record): decorrelated dedup_near, the
+    # spread_partitions similarity ops, multi-probe sim_ann_ivf, the
+    # truncated-flag dedup_simhash, the r5-rewritten join_theta
+    # (poisoned in fingerprints.json), and the _range_parts window ops
+    "dedup_near", "sim_knn_topk", "sim_range_search", "dedup_simhash",
+    "sim_ann_ivf", "join_theta", "window_running", "window_ntile",
+    "window_distribution",
+    # the 19 keys that had never entered a window
+    "ts_ewma", "ts_zscore", "window_funnel", "ts_rolling_median",
+    "window_cumulative_distinct", "window_streaks",
+    "sort_within_partitions", "sort_zorder", "set_except_all",
+    "set_intersect_all", "set_union_schema_evolved", "fn_json",
+    "fn_hash", "fn_bitwise", "fn_binary", "fn_struct", "fn_hof",
+    "fn_variant", "fn_try_arithmetic",
+    # the 10 r6 companion-bound keys (registered last)
+    "agg_approx_distinct_bounds", "agg_approx_percentile_bounds",
+    "agg_hll_merge_bounds", "agg_distinct_kmv_bounds",
+    "agg_heavy_hitters_check", "scan_sample_bounds",
+    "dedup_near_recall", "dedup_simhash_recall", "sim_ann_lsh_recall",
+    "sim_ann_ivf_recall",
+    # 12 spare slots fall to the front of the attested order (Q keys)
+    "q_shipping_priority", "q_local_supplier", "q_returned_items",
+    "q_large_orders", "q_corpus_curation", "q_nation_volume",
+    "q_promo_revenue", "q_disjunctive_revenue", "q_small_qty_parts",
+    "q_top_supplier", "q_lapsed_customers", "q_order_count_dist",
+}
+
+
 def test_attestation_window():
     """Must run in a FRESH process: registration order is import order,
     and sibling test modules import op modules directly, which shifts
@@ -210,6 +240,12 @@ def test_attestation_window():
         assert set(window) == R5_WINDOW, (
             f"window drift: extra={set(window) - R5_WINDOW}, "
             f"missing={R5_WINDOW - set(window)}"
+        )
+    elif not os.path.exists(os.path.join(_REPO_ROOT, "CORRECTNESS_r06.json")):
+        assert len(R6_WINDOW) == 50
+        assert set(window) == R6_WINDOW, (
+            f"window drift: extra={set(window) - R6_WINDOW}, "
+            f"missing={R6_WINDOW - set(window)}"
         )
 
 
