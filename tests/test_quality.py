@@ -217,7 +217,10 @@ def test_shuffle_budget_everywhere(spark, sf_dir):
         # ~6 + ngram-jaccard truth ~4 + string-shingle precision pass):
         "dedup_near_recall": 16,
         "dedup_simhash_recall": 11,
-        "sim_ann_lsh_recall": 11,
+        # lsh_recall runs the sketch + the exact euclid truth + the
+        # per-query distance-ratio (qgood) aggregate + the pair/tie
+        # hit union — four comparison stages over two pipelines
+        "sim_ann_lsh_recall": 16,
         "sim_ann_ivf_recall": 10,
         "agg_distinct_kmv_bounds": 10,
     }
