@@ -1,0 +1,541 @@
+"""X group (round 6) — training-pipeline extension operators.
+
+Ten operators a 100 TB training-data pipeline needs that the surface
+did not yet cover: unigram-LM quality scoring, robust (MAD-fenced)
+outlier detection, deterministic weighted sampling (A-ES), hopping
+windows, OHLC resampling, timestamp-gap detection, embedding-space
+outlier distances, URL parsing, normalized exact dedup, and
+sample-convention higher moments. Every op is a declarative DataFrame
+plan (zero Python in the row path) with an exact DuckDB oracle.
+
+Registered LAST in plans/registry._OP_MODULES (behind companions):
+these keys are never-attested, and they must sort BEHIND every key
+still waiting for its first attestation window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exprs import dsum
+from ..plans.registry import register
+from ..tables import table
+from .quantiles import exact_quantiles
+
+
+@register(
+    "text_perplexity_unigram",
+    group="X",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+    tc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT tok.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(tc.c / CAST(n.total AS DOUBLE))), 4) + 0 AS xent
+    FROM tok JOIN tc ON tok.w = tc.w, n
+    GROUP BY tok.doc_id
+    """,
+)
+def text_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the CCNet/Gopher-style
+    quality score: documents whose tokens are corpus-typical score low,
+    gibberish and boilerplate-free rarities score high. MLE unigram
+    probabilities need no smoothing (every scored token is in the
+    corpus by construction).
+
+    Scale shape: one tokenize feeding both sides; the vocabulary
+    aggregate partial-aggregates map-side; the token->count join is a
+    plain equi-join that AQE broadcasts at fixture scale and
+    shuffle-joins at real vocabulary sizes (both linear); the scalar
+    corpus total joins as a 1-row broadcast. Final per-doc aggregate
+    shuffles (doc_id, -log p) doubles only — the text never crosses
+    the wire. Rounded 4dp: the only cross-engine drift is libm LN ulps
+    and AVG summation order (~1e-12 relative)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = tc.agg(F.sum("c").alias("total"))
+    logp = -F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+    return (
+        tok.join(tc, "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg(logp), 4) + F.lit(0)).alias("xent"),
+        )
+    )
+
+
+@register(
+    "ts_gap_detect",
+    group="X",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_us
+      FROM events
+    )
+    SELECT user_id, prev_us AS gap_start_us, us AS gap_end_us,
+           us - prev_us AS gap_us
+    FROM x
+    WHERE us - prev_us > 7200000000
+    """,
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity timestamp-gap detection: consecutive event pairs more
+    than two hours apart — the data-freshness / sensor-outage audit
+    every ingestion pipeline runs, and the precursor to gap-aware
+    interpolation (ts_interpolate). One window shuffle on user_id;
+    output is (entity, gap) rows as epoch-microsecond BIGINTs — exact
+    integers, never raw TIMESTAMP columns (pandas dtype drift between
+    engines). The ORDER BY ends in event_id so tied timestamps have a
+    total order (key-collision rule); a fully tied pair yields gap 0
+    under any interleave, so output is interleave-invariant."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    x = e.select(
+        "user_id",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    gap = F.col("us") - F.col("prev_us")
+    return x.filter(gap > 7200000000).select(
+        "user_id",
+        F.col("prev_us").alias("gap_start_us"),
+        F.col("us").alias("gap_end_us"),
+        gap.alias("gap_us"),
+    )
+
+
+@register(
+    "window_hopping",
+    group="X",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, value,
+             epoch_us(ts) - ((epoch_us(ts) % 900000000) + 900000000)
+               % 900000000 AS w0
+      FROM events WHERE ts IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, value,
+             unnest(generate_series(w0 - 2700000000, w0,
+                                    CAST(900000000 AS BIGINT))) AS ws_us
+      FROM x
+    )
+    SELECT ws_us, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM h GROUP BY ws_us, event_type
+    """,
+)
+def window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding-batch) window aggregate: 1-hour windows every
+    15 minutes — the batch twin of stream_sliding, via Spark's native
+    ``window()`` expression (TimeWindow expands each event into its 4
+    containing windows inside codegen; no self-join, no range join).
+    The oracle reproduces TimeWindow's floor-to-slide assignment with
+    pure integer arithmetic (pmod keeps pre-1970 timestamps exact).
+    Output cardinality is windows x types — summary rows, not events;
+    decimal-exact sums (exprs.dsum) keep the value hash
+    order-independent. NULL timestamps are excluded on both engines
+    (Spark emits a NULL window, DuckDB an empty series — the filter
+    makes the engines agree)."""
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("ws_us"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "ts_resample_ohlc",
+    group="X",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, value, ts, event_id,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hr_us
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type, hr_us
+               ORDER BY ts NULLS FIRST, event_id NULLS FIRST,
+                        value NULLS FIRST) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type, hr_us
+               ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST,
+                        value DESC NULLS LAST) AS rn_d
+      FROM x
+    )
+    SELECT event_type, hr_us,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY event_type, hr_us
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (series, hour) open/high/low/close — the
+    financial-bar / metrics-rollup shape. Open and close are first/last
+    by a TOTAL order (ts, event_id, value — the key-collision rule:
+    duplicate (ts, event_id) rows with different payloads must not make
+    the answer depend on interleave). One window shuffle; the groupBy
+    reuses the window's (event_type, hour) hash partitioning so no
+    second exchange; high/low/count pass through exact."""
+    e = table(spark, sf_dir, "events")
+    hr = F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hr_us")
+    x = e.select("event_type", "value", "ts", "event_id", hr)
+    asc = Window.partitionBy("event_type", "hr_us").orderBy(
+        "ts", "event_id", "value"
+    )
+    desc = Window.partitionBy("event_type", "hr_us").orderBy(
+        F.col("ts").desc_nulls_last(),
+        F.col("event_id").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
+    )
+    r = x.select(
+        "event_type",
+        "hr_us",
+        "value",
+        F.row_number().over(asc).alias("rn_a"),
+        F.row_number().over(desc).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "hr_us").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    group="X",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, median(value) AS med, mad(value) AS madv
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.med) / (1.4826 * s.madv), 4) + 0 AS robust_z
+    FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+    WHERE s.madv > 0 AND ABS(e.value - s.med) > 3 * 1.4826 * s.madv
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-fenced outlier detection: rows whose |value - median| clears
+    3 robust sigmas (1.4826 x MAD) of their series — the quality fence
+    that survives the heavy tails which wreck stddev z-scores
+    (ts_zscore's robust cousin; the row-level application of agg_mad).
+    Both median passes use the sort-based spill-safe exact_quantiles
+    kernel; the per-series fences broadcast back (series cardinality
+    is tiny next to the fact). The threshold compares full-precision
+    doubles that are bit-identical in both engines (exact medians of
+    identical inputs), so boundary decisions can't flip; only the
+    reported z is rounded."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = exact_quantiles(
+        e, ["event_type"], "value", [(0.5, "med")]
+    ).withColumnRenamed("event_type", "m_type")
+    dev = e.join(
+        F.broadcast(med), F.col("event_type").eqNullSafe(F.col("m_type"))
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = exact_quantiles(
+        dev, ["event_type"], "adev", [(0.5, "madv")]
+    ).withColumnRenamed("event_type", "f_type")
+    fenced = dev.join(
+        F.broadcast(mad), F.col("event_type").eqNullSafe(F.col("f_type"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("madv"))
+    return fenced.filter(
+        (F.col("madv") > 0)
+        & (F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("madv"))
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.round(z, 4) + F.lit(0)).alias("robust_z"),
+    )
+
+
+@register(
+    "sample_reservoir_weighted",
+    group="X",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':wres'), 1, 12)) AS UBIGINT)
+               AS h
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           ROUND(LN((h + 1) / 281474976710657.0) / n_chars, 6) + 0 AS wkey
+    FROM w
+    ORDER BY LN((h + 1) / 281474976710657.0) / n_chars DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): each row draws u from a content hash and
+    ranks by ln(u)/w — the top-k by that key IS a weighted sample, and
+    because u comes from md5 (not an RNG) the same rows are chosen on
+    every engine, every run, every cluster size (sample_hash_det's
+    reproducibility argument, now with weights — the corpus-mixing
+    primitive behind upsampling high-quality sources). u = (h+1)/(2^48
+    + 1) from the first 12 md5 hex digits: exact in a double on both
+    engines. Narrow map + a global top-k (TakeOrderedAndProject — no
+    full sort, no shuffle of losers); ties are impossible short of an
+    md5 collision, and the doc_id tiebreak pins even that case."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wres"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    key = F.log((h + 1) / F.lit(281474976710657.0)) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            key.alias("k_full"),
+        )
+        .orderBy(F.col("k_full").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.round("k_full", 6) + F.lit(0)).alias("wkey"),
+        )
+    )
+
+
+@register(
+    "embedding_centroid_distance",
+    group="X",
+    oracle="""
+    WITH un AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    c AS (SELECT label, i, AVG(x) AS cx FROM un GROUP BY label, i)
+    SELECT un.vec_id, un.label,
+           ROUND(SQRT(SUM((un.x - c.cx) * (un.x - c.cx))), 4) AS dist
+    FROM un JOIN c ON un.label IS NOT DISTINCT FROM c.label AND un.i = c.i
+    GROUP BY un.vec_id, un.label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance of every vector to its class centroid — the
+    embedding-space outlier score (mislabeled / off-distribution
+    training examples sit far from their label's centroid; the
+    filtering complement of kmeans_quantized's codebook view).
+
+    The centroid aggregate runs over (label, dim) cells — posexplode
+    is JVM-side, the aggregate partial-aggregates map-side, and the
+    result is labels x dims rows (tiny), broadcast back to the
+    exploded fact. Per-vector reduce shuffles (vec_id, squared-dev)
+    doubles. Label join is null-safe: a NULL label is a real group on
+    both engines. Rounded 4dp: centroid AVG order-drift is ~1e-13
+    relative."""
+    em = table(spark, sf_dir, "embeddings")
+    un = em.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    cent = (
+        un.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .select(
+            F.col("label").alias("c_label"), F.col("i").alias("c_i"), "cx"
+        )
+    )
+    joined = un.join(
+        F.broadcast(cent),
+        F.col("label").eqNullSafe(F.col("c_label"))
+        & (F.col("i") == F.col("c_i")),
+    )
+    dev2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+    return joined.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(F.sum(dev2)), 4).alias("dist")
+    )
+
+
+@register(
+    "fn_url",
+    group="X",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             regexp_replace(source, '[^a-zA-Z0-9-]', '', 'g') AS s_clean,
+             regexp_replace(lang, '[^a-zA-Z0-9-]', '', 'g') AS l_clean,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(s_clean) = 0 OR length(l_clean) = 0 THEN NULL
+                ELSE 'https://' || s_clean || '.example.org/' || l_clean
+                     || '/' || CAST(doc_id AS VARCHAR)
+                     || '?q=' || CAST(n_chars AS VARCHAR) END AS url,
+           CASE WHEN length(s_clean) = 0 OR length(l_clean) = 0
+                  OR l_clean IS NULL OR n_chars IS NULL
+                  OR doc_id IS NULL THEN NULL
+                ELSE s_clean || '.example.org' END AS host,
+           CASE WHEN length(s_clean) = 0 OR length(l_clean) = 0
+                  OR s_clean IS NULL OR n_chars IS NULL THEN NULL
+                ELSE '/' || l_clean || '/' || CAST(doc_id AS VARCHAR) END
+             AS path,
+           CASE WHEN length(s_clean) = 0 OR length(l_clean) = 0
+                  OR s_clean IS NULL OR l_clean IS NULL
+                  OR n_chars IS NULL OR doc_id IS NULL THEN NULL
+                ELSE 'q=' || CAST(n_chars AS VARCHAR) END AS query,
+           CASE WHEN length(s_clean) = 0 OR length(l_clean) = 0
+                  OR s_clean IS NULL OR l_clean IS NULL
+                  OR n_chars IS NULL OR doc_id IS NULL THEN NULL
+                ELSE CAST(n_chars AS VARCHAR) END AS q_param
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parse_url round-trip — the web-corpus
+    plumbing (host-level dedup keys, path routing, query extraction
+    all start from parse_url). URLs are BUILT from sanitized fixture
+    columns so the oracle knows ground truth without needing a URL
+    parser: Spark's parse_url(HOST/PATH/QUERY[, key]) must return
+    exactly the parts the construction put in. concat null-propagates
+    on both engines (NULL source/lang/n_chars nulls every part); empty
+    sanitized parts are gated to NULL identically. Pure codegen
+    expressions — a narrow map at any scale."""
+    d = table(spark, sf_dir, "documents")
+    s_clean = F.regexp_replace(F.col("source"), "[^a-zA-Z0-9-]", "")
+    l_clean = F.regexp_replace(F.col("lang"), "[^a-zA-Z0-9-]", "")
+    url = F.when(
+        (F.length(s_clean) == 0) | (F.length(l_clean) == 0), F.lit(None)
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            s_clean,
+            F.lit(".example.org/"),
+            l_clean,
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q="),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    x = d.select("doc_id", url.alias("url"))
+    return x.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    group="X",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                    regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                    ' +', ' ', 'g')) AS norm
+      FROM documents WHERE text IS NOT NULL
+    ),
+    k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY norm) AS keep_id
+          FROM n)
+    SELECT keep_id, doc_id AS dup_id FROM k WHERE doc_id <> keep_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonical normalization (text_normalize's
+    lowercase / strip-punctuation / collapse-whitespace) — catches the
+    near-identical crawls that raw exact dedup misses (same body,
+    different casing or punctuation) without any similarity machinery.
+    Spark groups on md5(norm) so the shuffle moves 32-byte digests,
+    never text (dedup_exact's argument; identical modulo a 2^-128
+    collision — the oracle groups on the normalized text itself).
+    Window-min, not groupBy+collect: no per-group buffering however
+    degenerate the pile (every doc normalizing to '' is ONE group)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", F.md5(norm).alias("h"))
+    k = n.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("keep_id"),
+    )
+    return k.filter(F.col("doc_id") != F.col("keep_id")).select(
+        "keep_id", F.col("doc_id").alias("dup_id")
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    group="X",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(l_extendedprice) AS n,
+           CASE WHEN COUNT(l_extendedprice) >= 3
+                THEN ROUND(skewness(l_extendedprice), 4) + 0 END AS skew,
+           CASE WHEN COUNT(l_extendedprice) >= 4
+                THEN ROUND(kurtosis(l_extendedprice), 4) + 0 END AS kurt
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample skewness / excess kurtosis per group — the distribution-
+    shape audit behind drift detection and mixture validation. Spark's
+    built-ins are POPULATION moments (g1, g2); DuckDB's are SAMPLE
+    statistics (G1, G2), so the op applies the standard bias
+    corrections explicitly: G1 = g1*sqrt(n(n-1))/(n-2), G2 =
+    ((n+1)g2 + 6)(n-1)/((n-2)(n-3)) — a convention difference that
+    silently produces wrong-but-plausible numbers if ignored. Small-n
+    guards mirror DuckDB returning NULL below the defined sample size
+    (constant groups are NULL on both engines: 0/0 moments). One
+    partial-final aggregate; moments merge map-side like any sum."""
+    li = table(spark, sf_dir, "lineitem")
+    n = F.count("l_extendedprice")
+    nd = n.cast("double")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    big_g1 = g1 * F.sqrt(nd * (nd - 1)) / (nd - 2)
+    big_g2 = ((nd + 1) * g2 + 6) * (nd - 1) / ((nd - 2) * (nd - 3))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        n.alias("n"),
+        F.when(n >= 3, F.round(big_g1, 4) + F.lit(0)).alias("skew"),
+        F.when(n >= 4, F.round(big_g2, 4) + F.lit(0)).alias("kurt"),
+    )

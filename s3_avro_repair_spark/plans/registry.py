@@ -86,6 +86,10 @@ _OP_MODULES = [
     # introduction (r6) and must sort BEHIND the F/O/W keys still
     # waiting for their first attestation window.
     "s3_avro_repair_spark.operators.companions",    # G/L/S/X companions
+    # LAST+1: the r6 extension ops are never-attested too and must
+    # sort behind the companions — together they fill the r6 window's
+    # spare slots (38 critical keys + 10 extensions + 2 buffer).
+    "s3_avro_repair_spark.operators.extensions",    # X (r6 pipeline ops)
 ]
 
 _loaded = False

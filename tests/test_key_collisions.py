@@ -32,6 +32,11 @@ _SEQUENCE_OPS = [
     "stream_session", "merge_upsert", "scd2_intervals",
     "merge_intervals", "snapshot_diff", "q_cohort_retention",
     "agg_argmax",
+    # r6 extension ops over the events sequence: OHLC open/close order
+    # ends in the payload value (total order of the projected row),
+    # gap detection is interleave-invariant under full ties.
+    "ts_gap_detect", "ts_resample_ohlc", "window_hopping",
+    "ts_anomaly_mad",
 ]
 
 

@@ -48,9 +48,10 @@ def test_contract_shape():
     # Full SURVEY §2B surface (83 keys) + X-group extras + C group +
     # multi-format scans / maintenance ops + snappy/mixed-schema scans
     # + the 10 r6 companion-bound keys (hash-checkable contracts for
-    # the rows-only sketch ops). Pinned EXACT (==, not >=): both
+    # the rows-only sketch ops) + the 10 r6 extension ops
+    # (operators/extensions.py). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 237
+    assert len(qs) == 247
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
@@ -183,11 +184,13 @@ R6_WINDOW = {
     "agg_heavy_hitters_check", "scan_sample_bounds",
     "dedup_near_recall", "dedup_simhash_recall", "sim_ann_lsh_recall",
     "sim_ann_ivf_recall",
-    # 12 spare slots fall to the front of the attested order (Q keys)
-    "q_shipping_priority", "q_local_supplier", "q_returned_items",
-    "q_large_orders", "q_corpus_curation", "q_nation_volume",
-    "q_promo_revenue", "q_disjunctive_revenue", "q_small_qty_parts",
-    "q_top_supplier", "q_lapsed_customers", "q_order_count_dist",
+    # the 10 r6 extension ops (registered last, behind companions)
+    "text_perplexity_unigram", "ts_gap_detect", "window_hopping",
+    "ts_resample_ohlc", "ts_anomaly_mad", "sample_reservoir_weighted",
+    "embedding_centroid_distance", "fn_url", "dedup_exact_normalized",
+    "agg_skew_kurtosis",
+    # 2 spare slots fall to the front of the attested order (Q keys)
+    "q_shipping_priority", "q_local_supplier",
 }
 
 
