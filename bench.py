@@ -53,6 +53,14 @@ HEADLINE = [
     "avro_scan_snappy",     # E group: snappy container decode path
     "q_forecast_revenue",   # Q group: Q6 pure scan-filter-sum (scan path)
     "q_corpus_pipeline",    # Q/L: full curation DAG in one plan
+    # round 6 extension ops (operators/extensions.py) — data-scaled
+    # plans, cheap at bench SF; first recorded r6 so guard comparisons
+    # start r7:
+    "text_perplexity_unigram",  # tokenize + vocab join + per-doc agg
+    "window_hopping",           # native TimeWindow 4x expansion agg
+    "ts_resample_ohlc",         # two-rank window + exchange-reusing agg
+    "sample_reservoir_weighted",  # zero-exchange weighted top-k
+    "embedding_centroid_distance",  # posexplode + broadcast centroids
 ]
 
 # Secondary tier: the iterative / blocked ops whose cost is dominated
