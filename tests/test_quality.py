@@ -676,3 +676,32 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     assert joined("dedup_embedding_cosine") <= 2 * 50 * n_vec
     assert joined("sim_ann_lsh") <= 3 * 8 * 256 * n_q
     assert joined("sim_knn_topk") <= n_q * n_vec
+
+    # r6 extension ops with joins — analytic linear laws (x1.5 slack
+    # over the exact per-row law: AQE/filter placement can shift which
+    # node a post-join predicate is counted under, but never the ORDER
+    # of growth this test exists to catch):
+    # - text_perplexity_unigram: the token->count join emits exactly one
+    #   row per token INSTANCE; the scalar-total broadcast adds one more
+    #   pass over the same instances. Law: 2 x total tokens.
+    # - embedding_centroid_distance: centroid attach emits exactly one
+    #   row per (vector, dimension) cell. Law: n_vec x max_dim.
+    # - ts_anomaly_mad: two fence attach joins emit <= one row per
+    #   event each (sf0.1 measured 2.06n: the fence filter's placement
+    #   adds the output rows to one node's count). Law: 2 x n_events.
+    import pyspark.sql.functions as SF
+
+    n_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .select(SF.sum(SF.size(SF.split("text", " "))).alias("s"))
+        .collect()[0]["s"]
+    ) or 0
+    max_dim = (
+        emb.select(SF.max(SF.size("embedding")).alias("d")).collect()[0]["d"]
+        or 0
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert joined("text_perplexity_unigram") <= 3 * n_tokens
+    assert joined("embedding_centroid_distance") <= 2 * n_vec * max_dim
+    assert joined("ts_anomaly_mad") <= 3 * n_events
