@@ -171,6 +171,11 @@ def main() -> int:
             tier[name] = round(best, 3)
         return tier
 
+    # Machine calibration BEFORE the timed queries (post-warmup): a
+    # fixed pure-Spark CPU probe whose round-over-round ratio is the
+    # machine's drift, not ours — the guard normalizes by it.
+    calib = calibration_probe(spark, int(cpus))
+
     timings = time_tier(headline, prev_headline)
     secondary_timings = time_tier(secondary, prev_secondary)
 
@@ -181,8 +186,18 @@ def main() -> int:
         # false breaches (see SCALING.md, round-4 bisect).
         print("bench guard skipped: subset run", file=sys.stderr)
     else:
-        guard_report(timings, sf, prior)
-        guard_report(secondary_timings, sf, prior, tier="secondary")
+        # Environment drift is a per-ROUND property: derive it once
+        # from the calibration probes (or the headline tier's uniform
+        # median as fallback) and apply it to both tiers — the
+        # secondary tier alone has too few queries for the fallback.
+        env = env_drift_factor(
+            timings,
+            prior[1] if prior else {},
+            calib,
+            prior[3] if prior and len(prior) > 3 else None,
+        )
+        guard_report(timings, sf, prior, env=env)
+        guard_report(secondary_timings, sf, prior, tier="secondary", env=env)
     print(
         json.dumps(
             {
@@ -191,6 +206,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "secondary": secondary_timings,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )
@@ -207,9 +223,76 @@ def main() -> int:
 # seconds. Breaches go to stderr (the driver's stdout contract stays
 # one JSON line); the same bounds are asserted over the RECORDED
 # rounds in tests/test_bench_guard.py.
+#
+# Bounds are ENVIRONMENT-NORMALIZED (env_drift_factor): the r6 session
+# measured every one of 26 unrelated common queries at 1.2-1.7x
+# (median 1.41x) r5's record with bit-identical plans for most of them
+# — a uniform shift is the shared machine (CPU co-tenancy /
+# throttling), not 26 simultaneous regressions. A plan regression is
+# LOCALIZED; the guard's job is to catch it against whatever machine
+# this round got.
 GUARD_TOTAL_RATIO = 1.25
 GUARD_QUERY_RATIO = 1.5
 GUARD_MIN_DELTA_SEC = 0.25
+# No environment normalization may excuse more than this factor — a
+# "machine" 2.5x slower is indistinguishable from a broken build.
+GUARD_ENV_CAP = 2.5
+
+
+def env_drift_factor(
+    cur: dict[str, float],
+    prev: dict[str, float],
+    cur_calib: float | None = None,
+    prev_calib: float | None = None,
+) -> tuple[float, str]:
+    """(factor, basis) to scale the guard bounds by for machine drift.
+
+    Primary: the ratio of the rounds' calibration probes — a fixed
+    pure-Spark CPU workload (xxhash64 over spark.range, no fixture, no
+    operator code), so its drift measures the MACHINE and nothing this
+    repo changed. Fallback (rounds recorded before the probe existed):
+    the median per-query drift across >= 8 common queries, accepted
+    only when the drift is UNIFORM — p90 <= 2x p10 — because unrelated
+    plans moving together is the machine, one plan moving alone is a
+    regression. Clamped to [1.0, GUARD_ENV_CAP]: a faster machine
+    never loosens the bounds, and no amount of drift excuses 2.5x.
+    Known one-round blind spot (documented, bounded by the cap): a
+    change that uniformly slows EVERY plan is masked by the median
+    fallback — but from the first calibrated round on, the probe
+    disambiguates it."""
+    if cur_calib and prev_calib and prev_calib > 0:
+        return min(max(cur_calib / prev_calib, 1.0), GUARD_ENV_CAP), "calib"
+    common = [k for k in cur if k in prev and prev[k] > 0]
+    if len(common) < 8:
+        return 1.0, "none"
+    ratios = sorted(cur[k] / prev[k] for k in common)
+    med = ratios[len(ratios) // 2]
+    p10 = ratios[int(len(ratios) * 0.1)]
+    p90 = ratios[int(len(ratios) * 0.9) - 1]
+    if med > 1.05 and p10 > 0 and p90 <= 2.0 * p10:
+        return min(med, GUARD_ENV_CAP), "median-drift"
+    return 1.0, "none"
+
+
+def calibration_probe(spark, cpus: int) -> float:
+    """Fixed CPU-bound reference workload: xxhash64 over 2B ids on
+    `cpus` partitions, pure whole-stage codegen, zero fixture/operator
+    code. Its round-over-round ratio is the machine's, recorded as
+    calib_sec so the guard can separate machine drift from plan
+    regressions. min-of-2, same convention as the queries; sized to
+    ~1s on 32 cores so run-to-run jitter on the probe itself stays a
+    few percent."""
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # bit_xor, not sum: summing 2B hashes overflows a long under
+        # ANSI mode; xor is exact, costs the same, and can't overflow.
+        spark.range(0, 2_000_000_000, 1, cpus).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def _would_breach(name: str, best: float, prev: dict[str, float]) -> bool:
@@ -221,10 +304,11 @@ def _would_breach(name: str, best: float, prev: dict[str, float]) -> bool:
 
 def prior_round_queries(
     repo_dir: str,
-) -> tuple[str, dict[str, float], dict[str, float]] | None:
+) -> tuple[str, dict[str, float], dict[str, float], float | None] | None:
     """Newest recorded round: (filename, headline queries, secondary
-    tier). Rounds recorded before the secondary tier existed return {}
-    for it — the per-tier guard then has no common queries and skips."""
+    tier, calib_sec). Rounds recorded before the secondary tier /
+    calibration probe existed return {} / None for them — the per-tier
+    guard then skips or falls back to median-drift normalization."""
     import glob
     import re
 
@@ -243,20 +327,25 @@ def prior_round_queries(
         parsed = rec.get("parsed") or rec
         queries = parsed.get("queries")
         secondary = parsed.get("secondary")
+        calib = parsed.get("calib_sec")
     except (OSError, ValueError, AttributeError):
         return None
     if not isinstance(queries, dict):
         return None
     if not isinstance(secondary, dict):
         secondary = {}
-    return os.path.basename(best[1]), queries, secondary
+    if not isinstance(calib, (int, float)):
+        calib = None
+    return os.path.basename(best[1]), queries, secondary, calib
 
 
 def guard_report(
     timings: dict[str, float],
     sf: float,
-    prior: tuple[str, dict[str, float], dict[str, float]] | None = None,
+    prior: tuple[str, dict[str, float], dict[str, float], float | None]
+    | None = None,
     tier: str = "headline",
+    env: tuple[float, str] | None = None,
 ) -> None:
     if prior is None:  # standalone use (tests) — main() passes its own
         prior = prior_round_queries(os.path.dirname(os.path.abspath(__file__)))
@@ -267,22 +356,30 @@ def guard_report(
     common = [k for k in timings if k in prev and prev[k] > 0]
     if not common:
         return
+    if env is None:
+        env = env_drift_factor(
+            timings, prev, None, prior[3] if len(prior) > 3 else None
+        )
+    env, basis = env
+    total_bound = GUARD_TOTAL_RATIO * env
+    query_bound = GUARD_QUERY_RATIO * env
     cur_total = sum(timings[k] for k in common)
     prev_total = sum(prev[k] for k in common)
     ratio = cur_total / prev_total
     lines = [
         f"bench guard [{tier}] vs {name} (sf={sf}): common {len(common)} "
         f"queries, total {cur_total:.2f}s vs {prev_total:.2f}s ({ratio:.2f}x, "
-        f"bound {GUARD_TOTAL_RATIO}x)"
+        f"bound {total_bound:.2f}x = {GUARD_TOTAL_RATIO} x env {env:.2f} "
+        f"[{basis}])"
     ]
-    if ratio > GUARD_TOTAL_RATIO:
+    if ratio > total_bound:
         lines.append("bench guard BREACH: common-query total over bound")
     for k in sorted(common):
         r = timings[k] / prev[k]
-        if r > GUARD_QUERY_RATIO and timings[k] - prev[k] >= GUARD_MIN_DELTA_SEC:
+        if r > query_bound and timings[k] - prev[k] >= GUARD_MIN_DELTA_SEC:
             lines.append(
                 f"bench guard BREACH: {k} {prev[k]:.3f}s -> {timings[k]:.3f}s "
-                f"({r:.2f}x, bound {GUARD_QUERY_RATIO}x, "
+                f"({r:.2f}x, bound {query_bound:.2f}x, "
                 f"+{timings[k] - prev[k]:.2f}s >= {GUARD_MIN_DELTA_SEC}s)"
             )
     print("\n".join(lines), file=sys.stderr)
