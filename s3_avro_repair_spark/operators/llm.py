@@ -116,6 +116,21 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mh"),
         )
     )
+    # Materialize the signature relation ONCE: three branches consume
+    # sig (band explode, sa attach, sb attach) and without a
+    # materialization barrier each re-runs the scan+shingle+hash
+    # pipeline — measured 3x the end-to-end wall at sf0.1 (5.4s -> 1.8s
+    # with the checkpoint). This is the standard MinHash design at
+    # scale too: signatures are ~2-5% of corpus bytes (8-byte hashes,
+    # no text) and every serious pipeline persists them before banding.
+    # localCheckpoint = executor-local MEMORY_AND_DISK (same trade as
+    # dedup_clusters' iterative checkpoint: lineage is cut, an executor
+    # loss fails the job instead of recomputing — acceptable for a
+    # batch dedup pass, and the reliable-storage variant is a one-line
+    # swap in production). eager=False keeps fn() lazily-planned for
+    # the plan-inspection sweeps; values are unchanged either way, so
+    # run-twice determinism holds bit-exactly.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.posexplode(
