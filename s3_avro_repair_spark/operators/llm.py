@@ -839,6 +839,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(cast(size(embedding) AS double) / 3.0))"
     )
     sig = e.select("vec_id", "embedding", F.expr(proj).alias("p"))
+    # Materialize the projections ONCE (dedup_near's barrier, same
+    # measured pathology): four branches consume sig (query bands,
+    # corpus bands, qe, ne) and each would re-run the 16 x d
+    # hash-projection map. Signatures are ~1.3x the embedding bytes —
+    # cheap to hold; lineage-cut trade documented at dedup_near.
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         "vec_id",
         F.posexplode(
