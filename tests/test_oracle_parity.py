@@ -189,8 +189,12 @@ R6_WINDOW = {
     "ts_resample_ohlc", "ts_anomaly_mad", "sample_reservoir_weighted",
     "embedding_centroid_distance", "fn_url", "dedup_exact_normalized",
     "agg_skew_kurtosis",
-    # 2 spare slots fall to the front of the attested order (Q keys)
-    "q_shipping_priority", "q_local_supplier",
+    # floated late-r6 by the projection-materialization edit (the
+    # fingerprint mechanism doing its job); this consumed the window's
+    # LAST spare slot — no further attested-op edits this round
+    "sim_ann_lsh",
+    # 1 spare slot falls to the front of the attested order (Q keys)
+    "q_shipping_priority",
 }
 
 
