@@ -19,23 +19,27 @@ def main() -> int:
     path = sys.argv[1]
     flag = float(sys.argv[2]) if len(sys.argv) > 2 else 80.0
     pat = re.compile(
-        r"^(\w+): ([\d.]+)s -> ([\d.]+)s \(([\d.]+|inf)x\)"
+        r"^(\w+)(?: \([\w -]+\))?: ([\d.]+)s -> ([\d.]+)s \(([\d.]+|inf)x\)"
         r"(?: joined (\d+) -> (\d+)(?: \(([\d.]+)x\))?)?"
     )
     fails = []
-    rows = []
+    # Keyed by op name, LAST occurrence wins: a census log lists each
+    # op in its live section AND the per-op recap, and committed files
+    # append "post-fix rerun" lines that supersede the original row.
+    by_name: dict[str, tuple] = {}
     for line in open(path):
         line = line.strip()
         m = pat.match(line)
         if m:
             name, a, b, r, j1, j2, jr = m.groups()
-            rows.append((
+            by_name[name] = (
                 name, float(a), float(b), float(r),
                 int(j1) if j1 else 0, int(j2) if j2 else 0,
                 float(jr) if jr else None,
-            ))
+            )
         elif ": FAILED" in line:
             fails.append(line)
+    rows = list(by_name.values())
     if not rows:
         print("no census rows found")
         return 1
