@@ -35,7 +35,15 @@ from ..sources.scans import scan_sample
 from ..tables import table
 from .aggregations import agg_distinct_kmv, agg_hll_merge
 from .extras import sim_ann_ivf
-from .llm import _KNN_SQL, dedup_near, dedup_ngram_jaccard, sim_ann_lsh, sim_knn_topk
+from .llm import (
+    _KNN_SQL,
+    _QSTRIDE_SQL,
+    dedup_near,
+    dedup_ngram_jaccard,
+    query_panel,
+    sim_ann_lsh,
+    sim_knn_topk,
+)
 from .quantiles import exact_quantiles
 from .text_quality import agg_heavy_hitters, dedup_simhash
 
@@ -352,9 +360,10 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall over that truth set >= 0.7 (8 AND-bands of 2 collide a true
     s=0.5 pair w.p. 0.90; the fixture's truth pairs sit well above the
     threshold, measured recall 1.0 at sf0.001/sf0.01), and precision_ok
-    recomputes STRING-shingle Jaccard for every emitted pair — directly
-    checking the int-hashed-shingle == string-shingle claim
-    (2^-64 collision odds) instead of assuming it."""
+    pins xxhash64 injectivity over the corpus' distinct string
+    shingles — which makes int-hashed-shingle Jaccard EXACTLY equal
+    string-shingle Jaccard for every pair (2^-64 collision odds),
+    checked rather than assumed, in one linear pass."""
     truth = _ngram_truth(spark, sf_dir, 0.5)
     found = dedup_near(spark, sf_dir).select("id_a", "id_b")
     hit = truth.join(found, ["id_a", "id_b"], "left_semi")
@@ -362,42 +371,43 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth.agg(F.count(F.lit(1)).alias("n_truth")),
         hit.agg(F.count(F.lit(1)).alias("n_hit")),
     )
-    # Exact string-shingle sets (same construction as dedup_near's,
-    # BEFORE the xxhash64 step).
+    # precision_ok = xxhash64 is INJECTIVE over the corpus' distinct
+    # string shingles (same construction as dedup_near's, BEFORE the
+    # hash step). Injectivity makes int-set Jaccard EQUAL string-set
+    # Jaccard for every pair — a global distinct-count comparison
+    # proves the pair-level claim exactly, in one linear pass. The
+    # previous formulation re-attached both full string-shingle arrays
+    # to every emitted pair (~4 KB per row x millions of pairs under
+    # the 100x fixture's duplicate piles) and OOMed the r6 census; it
+    # was also weaker — it checked only the EMITTED pairs, while this
+    # covers every pair the corpus could form.
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("tokens"))
         .filter(F.col("tokens").isNotNull())
     )
-    ssets = d.select(
-        "doc_id",
-        F.expr(
-            "array_distinct("
-            "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
-            " slice(tokens, 2, greatest(size(tokens)-2, 1)),"
-            " (x, y) -> concat_ws(' ', x, y)),"
-            " slice(tokens, 3, greatest(size(tokens)-2, 1)),"
-            " (x, y) -> concat_ws(' ', x, y)))"
-        ).alias("sset"),
-    )
-    sa = ssets.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"))
-    sb = ssets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    prec = (
-        found.join(sa, "id_a")
-        .join(sb, "id_b")
-        .agg(
-            F.coalesce(F.min((jac >= 0.5 - 1e-9).cast("int")), F.lit(1)).alias(
-                "all_ok"
+    shingles = d.select(
+        F.explode(
+            F.expr(
+                "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
+                " slice(tokens, 2, greatest(size(tokens)-2, 1)),"
+                " (x, y) -> concat_ws(' ', x, y)),"
+                " slice(tokens, 3, greatest(size(tokens)-2, 1)),"
+                " (x, y) -> concat_ws(' ', x, y))"
             )
-        )
+        ).alias("ng")
+    )
+    prec = shingles.agg(
+        (
+            F.countDistinct("ng") == F.countDistinct(F.xxhash64("ng"))
+        ).alias("all_ok")
     )
     return _one_row(recall, prec).select(
         "n_truth",
         F.coalesce(
             F.col("n_hit") >= 0.7 * F.col("n_truth"), F.lit(True)
         ).alias("recall_ok"),
-        (F.col("all_ok") == 1).alias("precision_ok"),
+        F.col("all_ok").alias("precision_ok"),
     )
 
 
@@ -454,9 +464,10 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_QUERIES_SQL = """
+_N_QUERIES_SQL = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % 100 = 0 AND embedding IS NOT NULL
+    FROM embeddings
+    WHERE vec_id % {_QSTRIDE_SQL} = 0 AND embedding IS NOT NULL
 """
 
 
@@ -472,7 +483,7 @@ def _euclid_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
+    q = query_panel(e, spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea")
     )
     c = e.select(
@@ -515,8 +526,8 @@ def _ann_recall(
         "left_semi",
     )
     nq = (
-        table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull())
+        query_panel(table(spark, sf_dir, "embeddings"), spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
         .agg(F.count(F.lit(1)).alias("n_queries"))
     )
     return _one_row(
@@ -570,8 +581,8 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie_hit = truth.join(qgood, "query_id", "left_semi")
     hits = pair_hit.unionByName(tie_hit).select("query_id", "neighbor_id").distinct()
     nq = (
-        table(spark, sf_dir, "embeddings")
-        .filter((F.col("vec_id") % 100 == 0) & F.col("embedding").isNotNull())
+        query_panel(table(spark, sf_dir, "embeddings"), spark, sf_dir)
+        .filter(F.col("embedding").isNotNull())
         .agg(F.count(F.lit(1)).alias("n_queries"))
     )
     return _one_row(

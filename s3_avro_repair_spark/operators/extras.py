@@ -261,9 +261,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "cell int, cvec array<double>",
         )
-    from .llm import _norm
+    from .llm import _norm, query_panel
 
-    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+    q = query_panel(cells, spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("ea"),
         _norm("embedding").alias("na"),

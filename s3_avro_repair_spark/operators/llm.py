@@ -22,6 +22,38 @@ from ..plans.registry import register
 from ..session import spread_partitions
 from ..tables import table
 
+# Retrieval query panel, shared by every similarity-search op
+# (sim_knn_topk, sim_range_search, sim_ann_lsh, extras.sim_ann_ivf) and
+# their recall companions: vec_ids divisible by a CORPUS-DERIVED stride
+# of 100 * max(1, n // 3200). Below 3200 vectors the stride is the
+# historical 100 (every fixture SF: results bit-identical); past it the
+# panel is capped at 32-63 queries no matter how the corpus grows.
+# Exact retrieval work is |Q| x |C| — with a query set PROPORTIONAL to
+# the corpus (the old flat `% 100`) every brute-force op is quadratic
+# regardless of plan shape, and the r6 100x census measured
+# sim_knn_topk / sim_range_search / the recall truths timing out on
+# exactly that. A bounded panel is the honest retrieval contract at
+# 100 TB (you evaluate against a fixed query panel, not against 1% of
+# the corpus) and makes the whole family linear in |C| while keeping
+# the broadcast-queries / scan-corpus-once plan.
+_QSTRIDE_SQL = "(SELECT 100 * GREATEST(1, COUNT(*) // 3200) FROM embeddings)"
+
+
+def query_panel(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ``df`` (any frame carrying ``vec_id``) to the query
+    panel. The stride is computed EAGERLY from a count of the BASE
+    embeddings table and folded in as a literal: a count(*) over
+    parquet is answered from row-group metadata (one tiny job, the
+    same move sim_ann_ivf already makes for its cell count), and a
+    literal keeps the op's plan byte-identical to the historical
+    `% 100` one — the lazy alternative (1-row stride frame joined in)
+    measurably perturbed broadcast-size estimates and added shuffles
+    to every consumer. DuckDB mirror: ``vec_id % {_QSTRIDE_SQL} = 0``."""
+    n = table(spark, sf_dir, "embeddings").count()
+    stride = 100 * max(1, n // 3200)
+    return df.filter((F.col("vec_id") % F.lit(stride)) == 0)
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -728,8 +760,9 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_SQL = """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+_KNN_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % {_QSTRIDE_SQL} = 0),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              q.embedding AS ea, c.embedding AS eb
@@ -762,8 +795,9 @@ _KNN_SQL = """
 
 @register("sim_knn_topk", group="L", oracle=_KNN_SQL)
 def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-k nearest neighbors for a SMALL query set
-    (1% of vectors) against the full corpus: broadcast the query side,
+    """Brute-force exact top-k nearest neighbors for a BOUNDED query
+    panel (query_panel: <=64 queries at any corpus size, the historical
+    1% at fixture scale) against the full corpus: broadcast the query side,
     so the 'cross' join is a broadcast nested loop that scans the
     corpus ONCE with no shuffle of the big side; per-query top-5 via
     WindowGroupLimit (rank <= 5 is pushed into the sort). This is the
@@ -774,7 +808,7 @@ def sim_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    q = en.filter(F.col("vec_id") % 100 == 0).select(
+    q = query_panel(en, spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
@@ -855,7 +889,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bkey"),
     )
-    qb = bands.filter(F.col("vec_id") % 100 == 0).select(
+    qb = query_panel(bands, spark, sf_dir).select(
         F.col("vec_id").alias("query_id"), "band", "bkey"
     )
     # Probe budget: cap the corpus members considered per bucket at 256
@@ -1018,8 +1052,9 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RANGE_SQL = """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0),
+_RANGE_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % {_QSTRIDE_SQL} = 0),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              q.embedding AS ea, c.embedding AS eb
@@ -1054,7 +1089,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the checked scale, ~12 orders of magnitude beyond cross-engine
     summation-order ulp noise, so threshold membership is stable."""
     en = table(spark, sf_dir, "embeddings").withColumn("nrm", _norm("embedding"))
-    q = en.filter(F.col("vec_id") % 100 == 0).select(
+    q = query_panel(en, spark, sf_dir).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),

@@ -61,25 +61,39 @@ _NGRAMS_DUCK = """
 """
 
 
+# The eval-set stand-in is a BOUNDED corpus slice: stride
+# 97 * max(1, n_docs // 5000) — the historical flat % 97 below 5001
+# docs (every fixture SF: outputs bit-identical), capped at ~51-103
+# docs as the corpus grows. A real decontamination run's benchmark
+# side is a FIXED external table (the eval suites), not 1% of the
+# corpus; a proportional stand-in made the broadcast bench set
+# unbounded (100 TB corpus -> ~1 TB "benchmark" broadcast) and the r6
+# 100x census measured the semi-join's matched rows growing 1112x from
+# exactly that. Same contract as llm.query_panel.
+_BENCH_STRIDE_DUCK = "(97 * (SELECT GREATEST(1, COUNT(*) // 5000) FROM documents))"
+
+
 @register(
     "decontaminate",
     group="L",
     oracle=f"""
     WITH g AS ({_NGRAMS_DUCK}),
-    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+    bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % {_BENCH_STRIDE_DUCK} = 0),
     contaminated AS (
       SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ng)
-      WHERE g.doc_id % 97 <> 0
+      WHERE g.doc_id % {_BENCH_STRIDE_DUCK} <> 0
     )
     SELECT d.doc_id, d.lang FROM documents d
     ANTI JOIN contaminated c ON d.doc_id = c.doc_id
-    WHERE d.doc_id % 97 <> 0
+    WHERE d.doc_id % {_BENCH_STRIDE_DUCK} <> 0
     """,
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: drop every training document that
     shares an n-gram (trigram here; n is a dial) with the held-out
-    eval set (the doc_id % 97 slice stands in for it). This is the
+    eval set (a BOUNDED doc_id-stride slice stands in for it — see
+    _BENCH_STRIDE_DUCK; real benchmarks are fixed-size, so the
+    stand-in must be too or the broadcast below is unbounded). This is the
     standard guard against test-set leakage into a pretraining corpus.
 
     Plan shape at 100 TB: the eval side's distinct n-gram FINGERPRINTS
@@ -91,6 +105,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) reach the final broadcast anti join, so corpus rows are never
     shuffled at all."""
     d = table(spark, sf_dir, "documents")
+    # Eager literal stride, the query_panel move: one metadata-cheap
+    # count job, and the plan stays byte-identical to the flat % 97.
+    stride = 97 * max(1, d.count() // 5000)
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
     grams = F.expr(
         "zip_with(zip_with(slice(tk, 1, greatest(size(tk)-2, 0)),"
@@ -100,15 +117,15 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = toks.select("doc_id", F.explode(grams).alias("ng")).select(
         "doc_id", F.md5("ng").alias("h")
     )
-    bench = g.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    bench = g.filter(F.col("doc_id") % stride == 0).select("h").distinct()
     contaminated = (
-        g.filter(F.col("doc_id") % 97 != 0)
+        g.filter(F.col("doc_id") % stride != 0)
         .join(F.broadcast(bench), "h", "left_semi")
         .select("doc_id")
         .distinct()
     )
     return (
-        d.filter(F.col("doc_id") % 97 != 0)
+        d.filter(F.col("doc_id") % stride != 0)
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang")
     )

@@ -192,6 +192,24 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
+@given(n=st.integers(min_value=0, max_value=10**13))
+def test_query_panel_stride_bounds(n):
+    """The retrieval query-panel contract (llm.query_panel): stride
+    100 * max(1, n // 3200) keeps the panel BOUNDED — at most 64
+    queries at ANY corpus size, at least 32 once the corpus has 3200
+    vectors — and reduces to the historical flat 100 below 3200 (so
+    every fixture SF's attested outputs are bit-identical). Panel size
+    here is the worst case |{0, stride, 2*stride, ...} ∩ [0, n)| =
+    ceil(n / stride); sparse/negative vec_id spaces only shrink it."""
+    stride = 100 * max(1, n // 3200)
+    panel = -(-n // stride)  # ceil
+    assert panel <= 64
+    if n >= 3200:
+        assert panel >= 32
+    if n < 3200:
+        assert stride == 100
+
+
 @st.composite
 def _corpus_with_boilerplate(draw):
     """Docs built from 8-token blocks: each doc gets private-vocabulary

@@ -190,11 +190,13 @@ R6_WINDOW = {
     "embedding_centroid_distance", "fn_url", "dedup_exact_normalized",
     "agg_skew_kurtosis",
     # floated late-r6 by the projection-materialization edit (the
-    # fingerprint mechanism doing its job); this consumed the window's
-    # LAST spare slot — no further attested-op edits this round
+    # fingerprint mechanism doing its job)
     "sim_ann_lsh",
-    # 1 spare slot falls to the front of the attested order (Q keys)
-    "q_shipping_priority",
+    # floated by the bounded-bench-slice edit (unbounded broadcast fix);
+    # this consumed the window's LAST slot — the window is now 50/50
+    # never-attested, and ANY further attested-op edit EVICTS one, so:
+    # no further attested-op edits this round.
+    "decontaminate",
 }
 
 

@@ -601,6 +601,25 @@ def test_salted_join_carries_salt_in_join_keys(spark, sf_dir):
     assert "c_custkey" in right and "salt" in right, right
 
 
+def test_decontaminate_bench_side_stays_broadcast(spark, sf_dir):
+    """decontaminate's 100 TB posture is 'corpus rows are never
+    shuffled': the bench n-gram set (bounded stand-in slice — see
+    _BENCH_STRIDE_DUCK) must reach the semi join as a BROADCAST, and
+    the contaminated-ids anti join likewise — a plan where either
+    falls back to a shuffle join means the bench side stopped being
+    dim-sized."""
+    plan = (
+        _OPS["decontaminate"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_no_literal_corpus_repartition(spark, sf_dir):
     """Round-6 fix (VERDICT r5 item 2): the similarity ops' corpus-side
     spread must be DERIVED from the cluster (defaultParallelism via
@@ -651,8 +670,9 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     - sim_ann_lsh: <= 8 bands x 256 probe budget per query
       pre-distinct + two attach joins -> <= 3 x 2048 x |q|.
     - sim_knn_topk: brute force BY DESIGN — exactly |q| x (n-1)
-      broadcast-join rows, the documented quadratic-with-1%-queries
-      contract. Bound: |q| x n.
+      broadcast-join rows, with |q| the BOUNDED query panel
+      (llm.query_panel: <= 64 at any corpus size), so the product is
+      linear in n. Bound: |q| x n.
 
     A regression that drops a bucket from an equi-join key (the r5
     class of bug) blows these bounds by orders of magnitude."""
@@ -669,7 +689,8 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vec = emb.count()
-    n_q = emb.filter("vec_id % 100 = 0").count()
+    stride = 100 * max(1, n_vec // 3200)  # llm.query_panel's contract
+    n_q = emb.filter(f"vec_id % {stride} = 0").count()
 
     assert joined("dedup_near") <= 512 * n_docs
     assert joined("sim_cosine_pairs") <= 2 * 20 * n_vec

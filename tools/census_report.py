@@ -22,11 +22,13 @@ def main() -> int:
         r"^(\w+)(?: \([\w -]+\))?: ([\d.]+)s -> ([\d.]+)s \(([\d.]+|inf)x\)"
         r"(?: joined (\d+) -> (\d+)(?: \(([\d.]+)x\))?)?"
     )
-    fails = []
-    # Keyed by op name, LAST occurrence wins: a census log lists each
-    # op in its live section AND the per-op recap, and committed files
-    # append "post-fix rerun" lines that supersede the original row.
+    # Keyed by op name, LAST occurrence wins — for measured rows AND
+    # failures: a census log lists each op in its live section AND the
+    # per-op recap, and committed files append "post-fix rerun" lines
+    # that supersede the original row (including a FAILED one: a later
+    # successful measurement retires the stale failure).
     by_name: dict[str, tuple] = {}
+    fail_by_name: dict[str, str] = {}
     for line in open(path):
         line = line.strip()
         m = pat.match(line)
@@ -37,8 +39,12 @@ def main() -> int:
                 int(j1) if j1 else 0, int(j2) if j2 else 0,
                 float(jr) if jr else None,
             )
+            fail_by_name.pop(name, None)
         elif ": FAILED" in line:
-            fails.append(line)
+            name = line.split(":", 1)[0].split(" ")[0]
+            fail_by_name[name] = line
+            by_name.pop(name, None)
+    fails = list(fail_by_name.values())
     rows = list(by_name.values())
     if not rows:
         print("no census rows found")
