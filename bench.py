@@ -143,7 +143,9 @@ def main() -> int:
     prev_headline = prior[1] if prior and not only else {}
     prev_secondary = prior[2] if prior and not only else {}
 
-    def time_tier(names: list[str], prev: dict[str, float]) -> dict[str, float]:
+    def time_tier(
+        names: list[str], prev: dict[str, float], esc_env: float = 1.0
+    ) -> dict[str, float]:
         tier: dict[str, float] = {}
         for name in names:
             op = ops.get(name)
@@ -162,7 +164,7 @@ def main() -> int:
                     best = dt if best is None else min(best, dt)
                     done += 1
                     if done == runs and runs == 2 and _would_breach(
-                        name, best, prev
+                        name, best, prev, esc_env
                     ):
                         runs = 4
             except Exception as exc:  # never let one query kill the bench
@@ -175,9 +177,21 @@ def main() -> int:
     # fixed pure-Spark CPU probe whose round-over-round ratio is the
     # machine's drift, not ours — the guard normalizes by it.
     calib = calibration_probe(spark, int(cpus))
+    # Rerun escalation must see the same drift the guard will apply,
+    # or a uniformly slow machine escalates every >1.5x query to 4
+    # runs chasing breaches the normalized guard never reports
+    # (roughly doubling bench wall-clock). Only the calib-probe path
+    # is available pre-timing; without a prior probe, escalate on the
+    # raw ratio as before.
+    _prev_calib = prior[3] if prior and len(prior) > 3 else None
+    esc_env = (
+        min(max(calib / _prev_calib, 1.0), GUARD_ENV_CAP)
+        if calib and _prev_calib
+        else 1.0
+    )
 
-    timings = time_tier(headline, prev_headline)
-    secondary_timings = time_tier(secondary, prev_secondary)
+    timings = time_tier(headline, prev_headline, esc_env)
+    secondary_timings = time_tier(secondary, prev_secondary, esc_env)
 
     total = round(sum(timings.values()), 3)
     if only:
@@ -295,11 +309,16 @@ def calibration_probe(spark, cpus: int) -> float:
     return round(best, 3)
 
 
-def _would_breach(name: str, best: float, prev: dict[str, float]) -> bool:
+def _would_breach(
+    name: str, best: float, prev: dict[str, float], env: float = 1.0
+) -> bool:
     p = prev.get(name)
     if not p:
         return False
-    return best / p > GUARD_QUERY_RATIO and best - p >= GUARD_MIN_DELTA_SEC
+    # The ratio bound scales with machine drift (mirroring the guard);
+    # the absolute-delta floor does not — it exists to ignore
+    # sub-second jitter, which drift does not change.
+    return best / p > GUARD_QUERY_RATIO * env and best - p >= GUARD_MIN_DELTA_SEC
 
 
 def prior_round_queries(

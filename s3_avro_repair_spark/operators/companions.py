@@ -36,7 +36,6 @@ from ..tables import table
 from .aggregations import agg_distinct_kmv, agg_hll_merge
 from .extras import sim_ann_ivf
 from .llm import (
-    _KNN_SQL,
     _QSTRIDE_SQL,
     dedup_near,
     dedup_ngram_jaccard,
@@ -567,7 +566,11 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 (F.count(F.lit(1)) == 5)
-                & (F.max(F.col("euclid_dist") <= F.col("d5") * 1.1 + 1e-3))
+                # ALL-semantics: EVERY returned neighbor must sit within
+                # 1.1x of the true 5th distance — min over the booleans
+                # (max is an OR: one close candidate would have marked
+                # the whole query good and made the clause vacuous).
+                & (F.min(F.col("euclid_dist") <= F.col("d5") * 1.1 + 1e-3))
             ).alias("qgood")
         )
         .filter("qgood")

@@ -924,7 +924,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qe = sig.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    # qe is the PANEL's embeddings only (<= 64 rows at any corpus
+    # size) — broadcasting sig unfiltered would ship the whole corpus
+    # signature relation, the exact unbounded-reference-set class the
+    # query-panel contract exists to prevent.
+    qe = query_panel(sig, spark, sf_dir).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea")
+    )
     ne = sig.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
     )

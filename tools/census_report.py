@@ -18,9 +18,15 @@ import sys
 def main() -> int:
     path = sys.argv[1]
     flag = float(sys.argv[2]) if len(sys.argv) > 2 else 80.0
+    # Parenthesized annotations may carry arbitrary commentary after
+    # the ratio ("(23242.1x; fixture duplicate-pile law, unchanged)"),
+    # so both ratio groups accept a tail; the joined ratio is DERIVED
+    # from the counts below rather than trusted from the text — a
+    # rerun line whose annotation broke the old regex silently dropped
+    # the worst joined-rows offender from the report.
     pat = re.compile(
-        r"^(\w+)(?: \([\w -]+\))?: ([\d.]+)s -> ([\d.]+)s \(([\d.]+|inf)x\)"
-        r"(?: joined (\d+) -> (\d+)(?: \(([\d.]+)x\))?)?"
+        r"^(\w+)(?: \([^)]*\))?: ([\d.]+)s -> ([\d.]+)s \(([\d.]+|inf)x[^)]*\)"
+        r"(?: joined (\d+) -> (\d+)(?: \([^)]*\))?)?"
     )
     # Keyed by op name, LAST occurrence wins — for measured rows AND
     # failures: a census log lists each op in its live section AND the
@@ -33,12 +39,11 @@ def main() -> int:
         line = line.strip()
         m = pat.match(line)
         if m:
-            name, a, b, r, j1, j2, jr = m.groups()
-            by_name[name] = (
-                name, float(a), float(b), float(r),
-                int(j1) if j1 else 0, int(j2) if j2 else 0,
-                float(jr) if jr else None,
-            )
+            name, a, b, r, j1, j2 = m.groups()
+            j1 = int(j1) if j1 else 0
+            j2 = int(j2) if j2 else 0
+            jr = (j2 / j1) if j1 > 0 else None
+            by_name[name] = (name, float(a), float(b), float(r), j1, j2, jr)
             fail_by_name.pop(name, None)
         elif ": FAILED" in line:
             name = line.split(":", 1)[0].split(" ")[0]

@@ -223,10 +223,12 @@ def main() -> int:
         ratio = t10 / t01 if t01 > 0 else float("inf")
         jratio = (j10 / j01) if j01 and j01 > 0 and j10 >= 0 else None
         rows.append((name, t01, t10, ratio, j01, j10, jratio))
+        # -1 is the metrics-unreadable sentinel: print nothing rather
+        # than a nonsense negative count census_report cannot parse.
         jtxt = (
             f" joined {j01} -> {j10}"
             + (f" ({jratio:.1f}x)" if jratio is not None else "")
-            if j01 or j10
+            if (j01 > 0 or j10 > 0) and j01 >= 0 and j10 >= 0
             else ""
         )
         print(f"{name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x){jtxt}", flush=True)
