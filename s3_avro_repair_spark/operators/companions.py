@@ -87,13 +87,28 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Companion bound for agg_approx_distinct: the exact per-group
     distinct count (hash-checked against DuckDB) plus a boolean pinning
     the HLL++ estimate (rsd=0.01) within 5% of it — 5x the configured
-    rsd, so a broken sketch fails while engine drift does not."""
+    rsd, so a broken sketch fails while engine drift does not.
+
+    The HLL and the exact countDistinct run as SEPARATE aggregations
+    joined on the group key, never mixed in one .agg(): Spark's
+    distinct rewrite expands rows and keys the FIRST aggregate on
+    (group, gid, l_partkey), allocating an imperative HLL buffer
+    (~16 KB at rsd=0.01) for EVERY distinct (flag, partkey) hash-map
+    entry — hundreds of thousands of no-op 16 KB buffers, ~10 GB at
+    the 10x fixture; the census measured the mixed form OOMing a 4 g
+    harness heap while each half runs in MBs. eqNullSafe keeps the
+    NULL-flag group (GROUP BY retains it on both engines)."""
     li = table(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
     )
-    return g.select(
+    approx = li.groupBy(F.col("l_returnflag").alias("flag_a")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx")
+    )
+    return exact.join(
+        F.broadcast(approx),
+        F.col("l_returnflag").eqNullSafe(F.col("flag_a")),
+    ).select(
         "l_returnflag", "exact_parts",
         _rel_err_ok("approx", "exact_parts", 0.05).alias("within_tol"),
     )
