@@ -30,10 +30,12 @@ per-task.
 
 from __future__ import annotations
 
+import bz2
 import datetime as _dt
 import hashlib
 import io
 import json
+import lzma
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -450,6 +452,12 @@ def _compress(payload: bytes, codec: str) -> bytes:
 
         body = pa.compress(payload, codec="snappy", asbytes=True)
         return body + struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    if codec == "bzip2":  # Avro 1.8 optional codec: plain bzip2 stream
+        return bz2.compress(payload)
+    if codec == "xz":  # Avro 1.8 optional codec: xz container format
+        return lzma.compress(payload, format=lzma.FORMAT_XZ)
+    if codec == "zstandard":  # Avro 1.9+ optional codec: one zstd frame
+        return _zstd_module().ZstdCompressor().compress(payload)
     raise ValueError(f"unsupported codec {codec!r}")
 
 
@@ -482,7 +490,79 @@ def _decompress(payload: bytes, codec: str) -> bytes:
             # is caught here.
             raise CorruptBlock("snappy crc32 mismatch")
         return raw
+    if codec == "bzip2":
+        # avro-tools 1.8.2 (the reference's delegate) reads bzip2
+        # containers; the stream carries its own block CRCs, so damage
+        # surfaces as OSError/ValueError here.
+        try:
+            return bz2.decompress(payload)
+        except (OSError, ValueError, EOFError) as exc:
+            raise CorruptBlock(f"bzip2 failure: {exc}") from exc
+    if codec == "xz":
+        # xz integrity (CRC64 by default) is part of the container.
+        try:
+            return lzma.decompress(payload, format=lzma.FORMAT_XZ)
+        except lzma.LZMAError as exc:
+            raise CorruptBlock(f"xz failure: {exc}") from exc
+    if codec == "zstandard":
+        try:
+            dctx = _zstd_module().ZstdDecompressor()
+        except CorruptHeader:
+            raise
+        try:
+            # Avro zstd blocks are single frames; frames written without
+            # a content-size header need the streaming reader.
+            return dctx.decompress(payload)
+        except Exception as exc:
+            raise CorruptBlock(f"zstandard failure: {exc}") from exc
     raise CorruptHeader(f"unsupported codec {codec!r}")
+
+
+def _zstd_module():
+    """Resolve a zstd binding, gated behind import-try.
+
+    This container ships no zstd module (probed r7: no ``zstandard``
+    package, Python 3.11 so no stdlib ``compression.zstd``), so the
+    branch raises :class:`CorruptHeader` — the same per-file error class
+    as any unreadable container, meaning one zstd file becomes a report
+    row instead of aborting a 100 TB sweep. On a real cluster with
+    ``zstandard`` installed the codec round-trips with no code change;
+    ``tests/test_avro_codec.py`` exercises that path with a stub binding.
+    """
+    try:
+        import zstandard  # noqa: PLC0415
+
+        return zstandard
+    except ImportError:
+        pass
+    try:  # Python 3.14+ stdlib naming
+        from compression import zstd as _z  # noqa: PLC0415
+
+        class _Shim:
+            @staticmethod
+            def ZstdCompressor():
+                class _C:
+                    @staticmethod
+                    def compress(b):
+                        return _z.compress(b)
+
+                return _C()
+
+            @staticmethod
+            def ZstdDecompressor():
+                class _D:
+                    @staticmethod
+                    def decompress(b):
+                        return _z.decompress(b)
+
+                return _D()
+
+        return _Shim()
+    except ImportError as exc:
+        raise CorruptHeader(
+            "unsupported codec 'zstandard': no zstd binding available "
+            "(install the 'zstandard' package)"
+        ) from exc
 
 
 def write_ocf(

@@ -63,11 +63,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ⋈ lineitem, revenue per open order, top 10.
 
     The plan Catalyst should pick — and does — at any scale: customer
-    (dim, pre-filtered to one segment) broadcasts into orders, that
-    result broadcasts-or-shuffles into lineitem depending on
-    selectivity stats, partial aggregation runs map-side before the
-    groupBy shuffle, and the top-10 is a TakeOrdered (per-partition
-    heap + driver merge of 10×partitions rows), never a global sort."""
+    (pre-filtered to one segment, but SF-scaling, so deliberately
+    UNhinted — the size estimator broadcasts it at fixture scale and
+    degrades to a shuffle join at 100 TB instead of OOMing on a forced
+    multi-TB build side) joins into orders, that result
+    broadcasts-or-shuffles into lineitem depending on selectivity
+    stats, partial aggregation runs map-side before the groupBy
+    shuffle, and the top-10 is a TakeOrdered (per-partition heap +
+    driver merge of 10×partitions rows), never a global sort."""
     c = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -78,7 +81,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+        li.join(o.join(c, o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue())
@@ -115,12 +118,13 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms meeting at lineitem with the locality condition s_nationkey =
     c_nationkey — aggregated to revenue per nation.
 
-    All four dims are broadcast (region 5 rows, nation 25, supplier
-    and filtered customer dim-sized at every SF), so the only shuffles
-    are fact-side: one for the orders⋈lineitem equi join if stats rule
-    out broadcast, one for the 5-group aggregate. Join ORDER matters
-    at 100 TB — dims first to shrink the fact early — and is exactly
-    what Catalyst's reordering does given the broadcast hints."""
+    Only the O(1) dims are HINT-broadcast (region 5 rows, nation 25 —
+    fixed at every SF); supplier and the nation-filtered customer arm
+    scale WITH SF, so they carry no hint: the size estimator
+    broadcasts them at fixture scale and at 100 TB rightly degrades
+    to a shuffle join rather than building a multi-TB hash table.
+    Join ORDER matters at 100 TB — dims first to shrink the fact
+    early — and is exactly what Catalyst's reordering does."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -137,9 +141,9 @@ def q_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_arm), o.o_custkey == F.col("c_custkey"))
+        .join(cust_arm, o.o_custkey == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == F.col("c_nationkey")),
         )
@@ -170,7 +174,9 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns per customer over one quarter, top 20 — fact filtered on
     returnflag, orders quarter-filtered (fact-fact join left to
     AQE, which demotes it to broadcast when the filtered side is
-    small), customer and nation dims broadcast, aggregate keyed on
+    small), nation HINT-broadcast (O(1) at every SF) while customer —
+    which scales WITH SF — is left to the size estimator (broadcast at
+    fixture scale, shuffle join at 100 TB), aggregate keyed on
     the customer (high cardinality, unlike Q1/Q5).
 
     The high-cardinality groupBy is the part to watch at 100 TB: the
@@ -186,7 +192,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(_revenue())
@@ -237,7 +243,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_big_orders"),
@@ -337,7 +343,9 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the nation filter REACHES the dims before any fact
     work — supplier and customer shrink to two nations' worth before
-    their broadcast joins — so the fact rows that survive the supplier
+    joining the fact (the nation lookups inside each arm ARE
+    hint-broadcast; the arms themselves scale with SF and are left to
+    the estimator) — so the fact rows that survive the supplier
     semi-filter are the only ones carried into the orders join. Year
     extraction is codegen; the final aggregate is 2 directions × a few
     years of groups."""
@@ -368,9 +376,9 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -406,8 +414,9 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): one month of lineitem ⋈ part,
     percentage of revenue from promo-typed parts. The shape is a
-    conditional-aggregate ratio over a broadcast join: part (dim)
-    broadcasts, the month filter pushes to the fact scan, and BOTH sums
+    conditional-aggregate ratio over a dim-style join: part (unhinted —
+    it scales with SF; the estimator broadcasts it at fixture scale and
+    shuffles at 100 TB), the month filter pushes to the fact scan, and BOTH sums
     come out of ONE partial-aggregate pass (a CASE inside one agg, not
     two scans). Numerator/denominator are exact decimal sums; only the
     final ratio is double division, rounded on both engines.
@@ -422,7 +431,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo"),
             F.sum(rev).alias("total"),
@@ -458,9 +467,10 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction — part rows outside all three brand/size envelopes and
     lineitem rows outside the quantity hull are droppable BEFORE the
     join (constraint propagation over a disjunction), with the full
-    cross-side predicate re-checked after. part stays broadcast-sized;
-    at 100 TB the derived lineitem filter is what keeps the probe side
-    scan-bound instead of join-bound."""
+    cross-side predicate re-checked after. part carries no broadcast
+    hint (it scales with SF; the estimator picks broadcast at fixture
+    scale); at 100 TB the derived lineitem filter is what keeps the
+    probe side scan-bound instead of join-bound."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
@@ -470,7 +480,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#25") & s.between(20, 50) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(_revenue(), F.count(F.lit(1)).alias("n_items"))
     )
@@ -505,10 +515,13 @@ def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``qty < 0.2 * avg`` rewritten as ``5·qty·cnt < sum`` over decimals,
     so no double average can flip a boundary row between engines.
 
-    Plan: the brand's ~80 parts broadcast into lineitem ONCE; the
-    per-part sums (dim-sized) broadcast back into the same filtered
-    fact — the fact table is scanned once, shuffled never. At 100 TB
-    the per-part aggregate is map-side-combined to |parts| rows."""
+    Plan: the brand's ~80 parts join into lineitem ONCE; the per-part
+    sums join back into the same filtered fact — the fact table is
+    scanned once. Neither side is hint-broadcast (both scale with the
+    part count): at fixture scale the estimator broadcasts both and
+    the fact never shuffles; at 100 TB the per-part aggregate is
+    map-side-combined to |parts| rows and the joins degrade to
+    co-partitioned SMJ rather than forcing a multi-TB build side."""
     p = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
@@ -516,14 +529,14 @@ def q_small_qty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bli = (
         table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     pq = bli.groupBy("l_partkey").agg(
         F.sum(dec2("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
     )
     return (
-        bli.join(F.broadcast(pq.withColumnRenamed("l_partkey", "pk")),
+        bli.join(pq.withColumnRenamed("l_partkey", "pk"),
                  F.col("l_partkey") == F.col("pk"))
         .filter(F.lit(5) * dec2("l_quantity") * F.col("cnt") < F.col("sq"))
         .agg(dsum("l_extendedprice", "small_qty_revenue"),
@@ -694,25 +707,27 @@ def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: for every (small) part, the cheapest supplier —
     the argmin-per-group-over-a-join pattern. The selective dim filter
-    (p_size <= 10) broadcasts into the fact scan BEFORE the aggregate,
-    so the per-(part, supplier) cost rollup only ever sees qualifying
+    (p_size <= 10) joins into the fact scan BEFORE the aggregate, so
+    the per-(part, supplier) cost rollup only ever sees qualifying
     parts; the argmin is a ROW_NUMBER over l_partkey (high-cardinality
     partition — no straggler key at any scale) with l_suppkey as the
-    deterministic tie-break; the supplier name arrives by broadcast at
-    the end, after the data has shrunk to one row per part.
+    deterministic tie-break; the supplier name arrives at the end,
+    after the data has shrunk to one row per part. part and supplier
+    scale with SF so neither is hint-broadcast — the estimator
+    broadcasts both at fixture scale and shuffles at 100 TB.
 
     Cost is an exact decimal sum cast to double only on output."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = table(spark, sf_dir, "supplier")
     cost = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey", "p_brand")
         .agg(F.sum(dec2("l_extendedprice")).alias("cost"))
     )
     w = Window.partitionBy("l_partkey").orderBy("cost", "l_suppkey")
     best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
         F.col("l_partkey").alias("p_partkey"),
         "p_brand",
         "s_name",
@@ -842,8 +857,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier nation's share of a regional
     market, per year — the conditional-aggregate-over-a-star pattern.
     Numerator and denominator come out of ONE pass (a CASE inside the
-    sum, not two scans); all four dims pre-shrink and broadcast into
-    the fact-fact join; revenue stays exact decimal until the final
+    sum, not two scans); the O(1) dims (nation×2, region) pre-shrink
+    and HINT-broadcast into the fact-fact join, while supplier —
+    SF-scaling — is left to the estimator (broadcast at fixture
+    scale, shuffle at 100 TB); revenue stays exact decimal until the final
     share division, which both engines round identically.
 
     The year grouping keys the output at ~7 rows however large the
@@ -863,7 +880,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn.n_nationkey"))
         .join(F.broadcast(r), F.col("cn.n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn.n_nationkey"))
         .select(
             F.year(o.o_orderdate).cast("bigint").alias("yr"),
@@ -948,8 +965,9 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern. The reference fixtures carry no partsupp table, so
     lineitem IS the part↔supplier bridge (same shape, bigger fact).
 
-    The NOT IN compiles to a LEFT ANTI hash join against the (tiny,
-    broadcast) denylist — legal precisely because s_suppkey is
+    The NOT IN compiles to a LEFT ANTI hash join against the denylist
+    (supplier-derived, so SF-scaling — unhinted; the estimator
+    broadcasts it at fixture scale) — legal precisely because s_suppkey is
     non-nullable; a nullable denylist would need NULL-aware anti join
     (Spark plans BroadcastNestedLoop for that, a scale trap worth
     designing out of the schema). COUNT(DISTINCT) expands to the
@@ -967,12 +985,12 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
     )
     li = table(spark, sf_dir, "lineitem").join(
-        F.broadcast(sup_deny),
+        sup_deny,
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_anti",
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1016,8 +1034,9 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     along as a join residual — per-order fan-out is lineitems per
     order (bounded ~7), never a loop. Three passes over lineitem
     total; all three shuffle on l_orderkey, so at 100 TB AQE reuses
-    one exchange for the self-joins. The supplier name lookup is a
-    broadcast at the end, after the fact rows have been decimated."""
+    one exchange for the self-joins. The supplier name lookup lands at
+    the end, after the fact rows have been decimated — unhinted
+    (supplier scales with SF), estimator-broadcast at fixture scale."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
     late1 = (
@@ -1043,7 +1062,7 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        only_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        only_late.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1185,11 +1204,12 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional sum for the year slice alongside the total) instead
     of a self-join of two aggregations.
 
-    Plan: part is pre-filtered on the name family and broadcast into
+    Plan: part is pre-filtered on the name family and joined into
     lineitem; one shuffle on (suppkey, partkey) computes both sums;
     the half-volume test is exact decimal-integer arithmetic
     (qty*2 > total, never a float fraction — the q_important_parts
-    rule); supplier ⋈ nation broadcasts onto the surviving handful of
+    rule); supplier ⋈ nation (nation hint-broadcast; the join result
+    supplier-sized, hence unhinted) lands on the surviving handful of
     keys. DISTINCT dedups suppliers who qualify via several parts.
     At 100 TB the single grouped pass is the win: the textbook
     two-subquery formulation scans lineitem twice and joins the
@@ -1204,7 +1224,7 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,2)")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.when(in_year, dec2("l_quantity")).otherwise(zero)).alias("qty_year"),
@@ -1218,7 +1238,7 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipped.join(
-            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
             shipped.l_suppkey == s.s_suppkey,
         )
         .select("s_suppkey", "s_name")

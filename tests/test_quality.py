@@ -726,3 +726,43 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     assert joined("text_perplexity_unigram") <= 3 * n_tokens
     assert joined("embedding_centroid_distance") <= 2 * n_vec * max_dim
     assert joined("ts_anomaly_mad") <= 3 * n_events
+
+
+def test_no_broadcast_hints_on_sf_scaling_tables():
+    """The r6 posture debt, pinned: `F.broadcast()` in the Q-group
+    composites is an UNCONDITIONAL hint — it overrides the size
+    estimator, so a hint on an SF-scaling relation (customer,
+    supplier, part, orders, lineitem, or anything derived from them)
+    forces a multi-TB build side at 100 TB where statistics would
+    rightly degrade to a shuffle join. Hints are legal ONLY on O(1)
+    relations: nation (25 rows), region (5), scalar aggregates,
+    bounded panels. This guard extracts every `F.broadcast(` argument
+    in composite.py by balanced-paren scan and pins the allowed
+    argument roots; a new hint with any other root fails here and
+    must argue its O(1)-ness in review."""
+    import re
+    from pathlib import Path
+
+    import s3_avro_repair_spark.operators.composite as composite
+
+    src = Path(composite.__file__).read_text()
+    allowed_roots = {"n", "r", "cn", "sn", "tot", "n_small"}
+    banned_tables = ("customer", "supplier", "part", "orders", "lineitem")
+    args = []
+    for m in re.finditer(r"F\.broadcast\(", src):
+        depth, i = 1, m.end()
+        while depth:
+            depth += {"(": 1, ")": -1}.get(src[i], 0)
+            i += 1
+        args.append(src[m.end() : i - 1].strip())
+    assert args, "expected at least one O(1) broadcast hint to remain"
+    for arg in args:
+        root = re.match(r"[A-Za-z_][A-Za-z0-9_]*", arg).group(0)
+        assert root in allowed_roots, (
+            f"F.broadcast({arg!r}): root {root!r} is not a pinned O(1) "
+            f"relation {sorted(allowed_roots)}"
+        )
+        for t in banned_tables:
+            assert f'"{t}"' not in arg, (
+                f"F.broadcast({arg!r}) hints an SF-scaling {t} scan"
+            )
