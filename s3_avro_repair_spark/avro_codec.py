@@ -10,7 +10,10 @@ with an in-process implementation of the PUBLIC Avro 1.x spec
 - header: ``Obj\\x01`` magic, file-metadata map (``avro.schema`` JSON,
   ``avro.codec``), 16-byte sync marker;
 - data blocks: record count (zigzag varint long), byte size, payload
-  (optionally deflate-compressed, RFC-1951 raw), trailing sync marker;
+  (codecs: null, deflate = raw RFC-1951, snappy + big-endian CRC32,
+  bzip2, xz, and zstandard gated behind an import-try — the full set
+  avro-tools 1.8.2 reads plus the modern zstd default), trailing sync
+  marker;
 - values: zigzag varint ints/longs, little-endian float/double,
   length-prefixed bytes/string, records/arrays/maps/unions/enums/fixed.
 

@@ -220,6 +220,13 @@ def inject_bad_header(data: bytes) -> bytes:
 
 _INJURIES = {1: inject_truncate, 2: inject_flip, 3: inject_bad_sync, 4: inject_bad_header}
 
+# Codec per gen-2 file of the mixed tree (files N_FILES//2 .. N_FILES-1):
+# snappy dominates real fleets; bzip2/xz are the Avro 1.8 optional
+# codecs avro-tools 1.8.2 (the reference's delegate) also reads.
+# zstandard (Avro 1.9+) is implemented in avro_codec but excluded here —
+# this container has no zstd binding (see avro_codec._zstd_module).
+MIXED_GEN2_CODECS = {4: "snappy", 5: "snappy", 6: "bzip2", 7: "xz"}
+
 # Expected per-file outcome of the deterministic corruption layout.
 EXPECTED_VALIDATE = {
     i: ("corrupt" if i in _INJURIES else "healthy") for i in range(N_FILES)
@@ -243,15 +250,19 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
     - ``snappy/orders_{0..7}.avro``     — same content, snappy codec
       (the codec that dominates real Avro fleets)
     - ``mixed/orders_{0..7}.avro``      — files 0-3 written with an OLD
-      3-field writer schema, 4-7 with the current 5-field one: the
-      normal state of a years-old S3 prefix
+      3-field writer schema (null codec), 4-7 with the current 5-field
+      one under the codecs a mixed-age fleet really carries (4-5
+      snappy, 6 bzip2, 7 xz — the Avro 1.8 optional codecs avro-tools
+      1.8.2, the reference's delegate, reads): the normal state of a
+      years-old S3 prefix
     - ``typed/orders_{0..7}.avro``      — decimal-bytes + date-int
       logical-type rendition (deflate codec)
     """
-    # v4: bump when fixture layout / injection code changes so stale
+    # v5: bump when fixture layout / injection code changes so stale
     # cached trees from earlier rounds can never leak into results.
-    # (v3: added snappy/ and mixed/; v4: added typed/.)
-    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v4")
+    # (v3: added snappy/ and mixed/; v4: added typed/; v5: mixed gen-2
+    # files diversified over snappy/bzip2/xz.)
+    root = os.path.join(_CACHE_ROOT, os.path.basename(os.path.normpath(sf_dir)) + "_v5")
     if os.path.isdir(root):
         return root
     os.makedirs(_CACHE_ROOT, exist_ok=True)
@@ -290,11 +301,14 @@ def ensure_avro_fixtures(sf_dir: str) -> str:
             with open(os.path.join(snappy_dir, f"orders_{i}.avro"), "wb") as fo:
                 fo.write(ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "snappy"))
             # mixed generations: first half of the fleet predates the
-            # o_orderstatus / o_orderdate columns
+            # o_orderstatus / o_orderdate columns; the second half spans
+            # the optional codecs a mixed-age fleet accumulates
             if i < N_FILES // 2:
                 mixed = ocf_bytes(part, OLD_ORDERS_SCHEMA, old_cols, "null")
             else:
-                mixed = ocf_bytes(part, ORDERS_SCHEMA, ORDERS_COLS, "snappy")
+                mixed = ocf_bytes(
+                    part, ORDERS_SCHEMA, ORDERS_COLS, MIXED_GEN2_CODECS[i]
+                )
             with open(os.path.join(mixed_dir, f"orders_{i}.avro"), "wb") as fo:
                 fo.write(mixed)
             # logical-type rendition: decimal unscaled-int bytes +
@@ -564,7 +578,8 @@ MIXED_READER_SCHEMA = {
 def avro_scan_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous-schema tree scan: one pass over a directory whose
     files were written YEARS apart with different writer schemas (and
-    codecs — gen-1 null, gen-2 snappy), each file self-describing, each
+    codecs — gen-1 null; gen-2 snappy/bzip2/xz, the optional codecs a
+    mixed-age fleet accumulates), each file self-describing, each
     resolved to TODAY'S reader schema per the Avro spec's Schema
     Resolution rules. This is the reference's schema-agnostic read
     (avro-tools just reads whatever the file declares,
@@ -960,19 +975,21 @@ def avro_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avro_schema_report",
     group="E",
     oracle=f"""
-    SELECT CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
-                     < {N_FILES // 2}
-                THEN 'gen1' ELSE 'gen2' END AS generation,
-           CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
-                     < {N_FILES // 2}
-                THEN 'null' ELSE 'snappy' END AS codec,
-           CASE WHEN ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES}
-                     < {N_FILES // 2}
-                THEN 3 ELSE 5 END AS n_fields,
-           CAST({N_FILES // 2} AS BIGINT) AS n_files,
+    WITH bucketed AS (
+      SELECT ((o_orderkey % {N_FILES}) + {N_FILES}) % {N_FILES} AS b, *
+      FROM orders WHERE {ORDERS_CLEAN_WHERE}
+    )
+    SELECT CASE WHEN b < {N_FILES // 2} THEN 'gen1' ELSE 'gen2' END
+             AS generation,
+           CASE WHEN b < {N_FILES // 2} THEN 'null'
+                WHEN b IN (4, 5) THEN 'snappy'
+                WHEN b = 6 THEN 'bzip2'
+                ELSE 'xz' END AS codec,
+           CASE WHEN b < {N_FILES // 2} THEN 3 ELSE 5 END AS n_fields,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_files,
            COUNT(*) AS n_records
-    FROM orders WHERE {ORDERS_CLEAN_WHERE}
-    GROUP BY 1, 2, 3, 4
+    FROM bucketed
+    GROUP BY 1, 2, 3
     """,
 )
 def avro_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
