@@ -25,9 +25,15 @@ from ..tables import table
 # Retrieval query panel, shared by every similarity-search op
 # (sim_knn_topk, sim_range_search, sim_ann_lsh, extras.sim_ann_ivf) and
 # their recall companions: vec_ids divisible by a CORPUS-DERIVED stride
-# of 100 * max(1, n // 3200). Below 3200 vectors the stride is the
-# historical 100 (every fixture SF: results bit-identical); past it the
-# panel is capped at 32-63 queries no matter how the corpus grows.
+# of 100 * max(1, (max_id + 1) // 3200). On the dense fixture id space
+# max_id + 1 == n, so below 3200 vectors the stride is the historical
+# 100 (every fixture SF: results bit-identical); past it the panel is
+# capped at <=64 queries no matter how the corpus OR its id space
+# grows. The id-span derivation (r7, was count-derived) closes the
+# sparse/aligned-id hole: with vec_ids all multiples of 100, a
+# count-derived stride left the panel corpus-proportional — the span
+# bound |{k*stride} ∩ [0, max_id]| <= (max_id+1)/stride <= 64 holds
+# for ANY id distribution.
 # Exact retrieval work is |Q| x |C| — with a query set PROPORTIONAL to
 # the corpus (the old flat `% 100`) every brute-force op is quadratic
 # regardless of plan shape, and the r6 100x census measured
@@ -36,21 +42,38 @@ from ..tables import table
 # 100 TB (you evaluate against a fixed query panel, not against 1% of
 # the corpus) and makes the whole family linear in |C| while keeping
 # the broadcast-queries / scan-corpus-once plan.
-_QSTRIDE_SQL = "(SELECT 100 * GREATEST(1, COUNT(*) // 3200) FROM embeddings)"
+_QSTRIDE_SQL = (
+    "(SELECT 100 * GREATEST(1, (COALESCE(MAX(vec_id), 0) + 1) // 3200)"
+    " FROM embeddings)"
+)
+
+# stride per sf_dir, computed once per process: every retrieval op and
+# recall companion calls query_panel (sim_ann_lsh twice), and the
+# probe job — metadata-cheap but a real Spark job — used to re-run per
+# call (ADVICE r6).
+_PANEL_STRIDE: dict[str, int] = {}
 
 
 def query_panel(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter ``df`` (any frame carrying ``vec_id``) to the query
-    panel. The stride is computed EAGERLY from a count of the BASE
-    embeddings table and folded in as a literal: a count(*) over
-    parquet is answered from row-group metadata (one tiny job, the
-    same move sim_ann_ivf already makes for its cell count), and a
-    literal keeps the op's plan byte-identical to the historical
-    `% 100` one — the lazy alternative (1-row stride frame joined in)
-    measurably perturbed broadcast-size estimates and added shuffles
-    to every consumer. DuckDB mirror: ``vec_id % {_QSTRIDE_SQL} = 0``."""
-    n = table(spark, sf_dir, "embeddings").count()
-    stride = 100 * max(1, n // 3200)
+    panel. The stride is computed EAGERLY from max(vec_id) of the BASE
+    embeddings table — one tiny column-scan job (parquet min/max
+    statistics make it near-metadata; memoized per ``sf_dir`` so it
+    runs once per process however many ops consume the panel) — and
+    folded in as a literal: a literal keeps the op's plan
+    byte-identical to the historical `% 100` one, while the lazy
+    alternative (1-row stride frame joined in) measurably perturbed
+    broadcast-size estimates and added shuffles to every consumer.
+    DuckDB mirror: ``vec_id % {_QSTRIDE_SQL} = 0``."""
+    stride = _PANEL_STRIDE.get(sf_dir)
+    if stride is None:
+        max_id = (
+            table(spark, sf_dir, "embeddings")
+            .agg(F.max("vec_id").alias("m"))
+            .first()["m"]
+        )
+        stride = 100 * max(1, ((max_id or 0) + 1) // 3200)
+        _PANEL_STRIDE[sf_dir] = stride
     return df.filter((F.col("vec_id") % F.lit(stride)) == 0)
 
 

@@ -62,15 +62,32 @@ _NGRAMS_DUCK = """
 
 
 # The eval-set stand-in is a BOUNDED corpus slice: stride
-# 97 * max(1, n_docs // 5000) — the historical flat % 97 below 5001
-# docs (every fixture SF: outputs bit-identical), capped at ~51-103
-# docs as the corpus grows. A real decontamination run's benchmark
-# side is a FIXED external table (the eval suites), not 1% of the
-# corpus; a proportional stand-in made the broadcast bench set
+# 97 * max(1, (max_doc_id + 1) // 5000) — the historical flat % 97 on
+# the dense fixture id space below 5001 docs (outputs bit-identical),
+# capped at ~51-103 docs as the corpus grows. Derived from the ID SPAN
+# (r7, was count-derived, same fix as llm.query_panel): the span bound
+# holds for sparse/aligned id spaces where a count-derived stride
+# reverts to corpus-proportional. A real decontamination run's
+# benchmark side is a FIXED external table (the eval suites), not 1%
+# of the corpus; a proportional stand-in made the broadcast bench set
 # unbounded (100 TB corpus -> ~1 TB "benchmark" broadcast) and the r6
 # 100x census measured the semi-join's matched rows growing 1112x from
 # exactly that. Same contract as llm.query_panel.
-_BENCH_STRIDE_DUCK = "(97 * (SELECT GREATEST(1, COUNT(*) // 5000) FROM documents))"
+_BENCH_STRIDE_DUCK = (
+    "(97 * (SELECT GREATEST(1, (COALESCE(MAX(doc_id), 0) + 1) // 5000)"
+    " FROM documents))"
+)
+
+_BENCH_STRIDE: dict[str, int] = {}
+
+
+def _bench_stride(d, sf_dir: str) -> int:
+    stride = _BENCH_STRIDE.get(sf_dir)
+    if stride is None:
+        max_id = d.agg(F.max("doc_id").alias("m")).first()["m"]
+        stride = 97 * max(1, ((max_id or 0) + 1) // 5000)
+        _BENCH_STRIDE[sf_dir] = stride
+    return stride
 
 
 @register(
@@ -105,9 +122,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     set) reach the final broadcast anti join, so corpus rows are never
     shuffled at all."""
     d = table(spark, sf_dir, "documents")
-    # Eager literal stride, the query_panel move: one metadata-cheap
-    # count job, and the plan stays byte-identical to the flat % 97.
-    stride = 97 * max(1, d.count() // 5000)
+    # Eager literal stride, the query_panel move: one tiny max() job
+    # (parquet column stats), memoized per sf_dir, and the plan stays
+    # byte-identical to the flat % 97.
+    stride = _bench_stride(d, sf_dir)
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
     grams = F.expr(
         "zip_with(zip_with(slice(tk, 1, greatest(size(tk)-2, 0)),"

@@ -192,22 +192,38 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@given(n=st.integers(min_value=0, max_value=10**13))
-def test_query_panel_stride_bounds(n):
+@given(
+    max_id=st.integers(min_value=-(10**13), max_value=10**13),
+    align=st.integers(min_value=1, max_value=10**6),
+)
+def test_query_panel_stride_bounds(max_id, align):
     """The retrieval query-panel contract (llm.query_panel): stride
-    100 * max(1, n // 3200) keeps the panel BOUNDED — at most 64
-    queries at ANY corpus size, at least 32 once the corpus has 3200
-    vectors — and reduces to the historical flat 100 below 3200 (so
-    every fixture SF's attested outputs are bit-identical). Panel size
-    here is the worst case |{0, stride, 2*stride, ...} ∩ [0, n)| =
-    ceil(n / stride); sparse/negative vec_id spaces only shrink it."""
-    stride = 100 * max(1, n // 3200)
-    panel = -(-n // stride)  # ceil
+    100 * max(1, (max_id + 1) // 3200) keeps the panel BOUNDED — at
+    most 64 queries for ANY id distribution, including the sparse /
+    stride-ALIGNED spaces (all vec_ids multiples of some k) where the
+    old count-derived stride reverted to corpus-proportional (ADVICE
+    r6). The bound is a span argument: the panel is a subset of the
+    multiples of stride inside [0, max_id], of which there are at most
+    floor(max_id / stride) + 1 <= 64 regardless of how many or which
+    ids exist. On a dense space max_id + 1 == n, so the fixture
+    behavior (flat 100 below 3200 vectors, >= 32 queries past it when
+    dense) is unchanged."""
+    span = max_id + 1
+    stride = 100 * max(1, span // 3200)
+    # worst case over EVERY id distribution with this max: all
+    # multiples of stride in [0, max_id] present (alignment `align`
+    # can only thin the panel further, never grow it)
+    panel = max(0, span) // stride + (1 if max_id >= 0 else 0)
     assert panel <= 64
-    if n >= 3200:
-        assert panel >= 32
-    if n < 3200:
+    aligned_panel = sum(
+        1 for v in range(0, max(0, max_id) + 1, align * stride) if v % stride == 0
+    ) if 0 <= max_id <= 10**6 else None
+    if aligned_panel is not None:
+        assert aligned_panel <= panel
+    if 0 <= span < 3200:
         assert stride == 100
+    if span >= 3200:  # dense case keeps the old floor
+        assert span // stride >= 32
 
 
 @st.composite

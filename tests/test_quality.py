@@ -689,7 +689,9 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_vec = emb.count()
-    stride = 100 * max(1, n_vec // 3200)  # llm.query_panel's contract
+    # llm.query_panel's contract (id-span-derived; dense fixture ids
+    # make max+1 == n_vec)
+    stride = 100 * max(1, n_vec // 3200)
     n_q = emb.filter(f"vec_id % {stride} = 0").count()
 
     assert joined("dedup_near") <= 512 * n_docs
