@@ -37,7 +37,9 @@ from .aggregations import agg_distinct_kmv, agg_hll_merge
 from .extras import sim_ann_ivf
 from .llm import (
     _QSTRIDE_SQL,
-    dedup_near,
+    _minhash_sig,
+    _near_pairs,
+    _shingled,
     dedup_ngram_jaccard,
     query_panel,
     sim_ann_lsh,
@@ -364,7 +366,7 @@ def _ngram_truth(spark: SparkSession, sf_dir: str, threshold: float) -> DataFram
     oracle=lambda: _ngram_truth_oracle(
         0.5,
         "CAST(COUNT(*) AS BIGINT) AS n_truth,"
-        " TRUE AS recall_ok, TRUE AS precision_ok",
+        " TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS pairs_ok",
     ),
 )
 def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,55 +375,83 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-checked against the same DuckDB CTE), recall_ok pins MinHash
     recall over that truth set >= 0.7 (8 AND-bands of 2 collide a true
     s=0.5 pair w.p. 0.90; the fixture's truth pairs sit well above the
-    threshold, measured recall 1.0 at sf0.001/sf0.01), and precision_ok
+    threshold, measured recall 1.0 at sf0.001/sf0.01), precision_ok
     pins xxhash64 injectivity over the corpus' distinct string
     shingles — which makes int-hashed-shingle Jaccard EXACTLY equal
-    string-shingle Jaccard for every pair (2^-64 collision odds),
-    checked rather than assumed, in one linear pass."""
+    string-shingle Jaccard for every CANDIDATE pair (2^-64 collision
+    odds), checked rather than assumed, in one linear pass — and
+    pairs_ok re-derives the emitted threshold on a BOUNDED sample: up
+    to 256 hash-selected emitted pairs have their Jaccard recomputed
+    from the raw STRING shingle sets (a path independent of the
+    int-hash pipeline), all required >= 0.5. Injectivity alone cannot
+    catch a regression in dedup_near's exact-Jaccard filter (e.g. a
+    dropped threshold) — the sampled recheck covers that claim (r6
+    ADVICE).
+
+    The corpus is scanned and shingled ONCE: the shared
+    ``llm._shingled`` relation is checkpointed here and feeds the
+    signature pipeline (via ``_minhash_sig``/``_near_pairs`` — the
+    exact dedup_near dataflow), the injectivity pass, and the sampled
+    recheck. The previous formulation re-built the shingle pipeline
+    per branch and was the heaviest entry of the r6 100x census
+    (62s, heap-bound) for that reason."""
     truth = _ngram_truth(spark, sf_dir, 0.5)
-    found = dedup_near(spark, sf_dir).select("id_a", "id_b")
+    shingled = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    found = _near_pairs(_minhash_sig(shingled)).select("id_a", "id_b")
     hit = truth.join(found, ["id_a", "id_b"], "left_semi")
     recall = _one_row(
         truth.agg(F.count(F.lit(1)).alias("n_truth")),
         hit.agg(F.count(F.lit(1)).alias("n_hit")),
     )
     # precision_ok = xxhash64 is INJECTIVE over the corpus' distinct
-    # string shingles (same construction as dedup_near's, BEFORE the
-    # hash step). Injectivity makes int-set Jaccard EQUAL string-set
-    # Jaccard for every pair — a global distinct-count comparison
-    # proves the pair-level claim exactly, in one linear pass. The
-    # previous formulation re-attached both full string-shingle arrays
-    # to every emitted pair (~4 KB per row x millions of pairs under
-    # the 100x fixture's duplicate piles) and OOMed the r6 census; it
-    # was also weaker — it checked only the EMITTED pairs, while this
-    # covers every pair the corpus could form.
-    d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("tokens"))
-        .filter(F.col("tokens").isNotNull())
-    )
-    shingles = d.select(
-        F.explode(
-            F.expr(
-                "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
-                " slice(tokens, 2, greatest(size(tokens)-2, 1)),"
-                " (x, y) -> concat_ws(' ', x, y)),"
-                " slice(tokens, 3, greatest(size(tokens)-2, 1)),"
-                " (x, y) -> concat_ws(' ', x, y))"
-            )
-        ).alias("ng")
-    )
+    # string shingles (the SAME checkpointed relation the signature
+    # pipeline hashes). Injectivity makes int-set Jaccard EQUAL
+    # string-set Jaccard for every pair — a global distinct-count
+    # comparison proves the pair-level claim exactly, in one linear
+    # pass. The per-pair string-array attachment this replaced (~4 KB
+    # per row x millions of pairs under the 100x fixture's duplicate
+    # piles) OOMed the r6 census.
+    shingles = shingled.select(F.explode("shingles").alias("ng"))
     prec = shingles.agg(
         (
             F.countDistinct("ng") == F.countDistinct(F.xxhash64("ng"))
         ).alias("all_ok")
     )
-    return _one_row(recall, prec).select(
+    # pairs_ok: bounded deterministic sample of emitted pairs
+    # (TakeOrdered by pair hash — per-partition heaps, never a global
+    # sort or a proportional slice), string-set Jaccard recomputed
+    # from the same checkpointed shingle relation. bool_and = the
+    # FOR-ALL quantifier (r6c: F.max over booleans is an OR).
+    sample = found.orderBy(
+        F.xxhash64("id_a", "id_b"), "id_a", "id_b"
+    ).limit(256)
+    str_a = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    str_b = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    sampled_jac = (
+        sample.join(str_a, "id_a")
+        .join(str_b, "id_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+                >= 0.5
+            ).alias("ok")
+        )
+    )
+    pairs = sampled_jac.agg(
+        F.coalesce(F.expr("bool_and(ok)"), F.lit(True)).alias("pairs_ok")
+    )
+    return _one_row(recall, prec, pairs).select(
         "n_truth",
         F.coalesce(
             F.col("n_hit") >= 0.7 * F.col("n_truth"), F.lit(True)
         ).alias("recall_ok"),
         F.col("all_ok").alias("precision_ok"),
+        "pairs_ok",
     )
 
 

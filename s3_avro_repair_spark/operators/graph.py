@@ -124,13 +124,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table amortizes its shuffle across all rounds — the classic Pregel
     layout."""
     pairs = _sim_pairs(spark, sf_dir)
-    edges = (
+    bare = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Fold the out-degree INTO the checkpointed edge relation (r7):
+    # the old layout checkpointed bare edges and joined a lazily
+    # re-aggregated deg relation every round — 10 redundant
+    # aggregate+join stages across the sequenced jobs. With deg
+    # carried on each edge row, every round is exactly one join + one
+    # aggregate, and the checkpoint still amortizes the edge shuffle
+    # across all rounds.
+    deg = bare.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges = bare.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges.select("src").distinct()
     n = nodes.count()
     if n == 0:
@@ -143,13 +150,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("vec_id"), F.lit(1.0 / n).alias("score")
     ).localCheckpoint(eager=True)
     for _ in range(_ITERS):
-        contrib = (
-            edges.join(
-                scores.withColumnRenamed("vec_id", "src"), "src"
-            )
-            .join(deg, "src")
-            .select("dst", (F.col("score") / F.col("deg")).alias("c"))
-        )
+        contrib = edges.join(
+            scores.withColumnRenamed("vec_id", "src"), "src"
+        ).select("dst", (F.col("score") / F.col("deg")).alias("c"))
         scores = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("s"))

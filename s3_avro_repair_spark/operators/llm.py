@@ -126,6 +126,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 16 rank positions via the same rn-DIV-16 two-sided bucket join
     as dedup_levenshtein/banded_candidates, so joined rows stay
     O(16 H) per bucket no matter how degenerate the pile."""
+    return _near_pairs(_minhash_sig(_shingled(spark, sf_dir)))
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — the 3-token shingle arrays
+    shared by dedup_near and its recall companion (which checkpoints
+    this relation ONCE and feeds both its injectivity pass and the
+    signature pipeline from it)."""
     d = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -137,7 +145,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element when the optimizer collapses the alias — O(tokens^2).
     # zip_with pads the shorter slice with null and concat_ws skips
     # nulls, reproducing the old <3-token edge cases exactly.
-    shingled = toks.withColumn(
+    return toks.withColumn(
         "shingles",
         F.expr(
             "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
@@ -147,6 +155,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (x, y) -> concat_ws(' ', x, y))"
         ),
     ).select("doc_id", "shingles")
+
+
+def _minhash_sig(shingled: DataFrame) -> DataFrame:
+    """Checkpointed (doc_id, sset, mh) MinHash signature relation."""
     # ONE select end-to-end per doc: shingle strings hash to 64-bit
     # ints FIRST (sset is the int set), so (a) every downstream pass —
     # 16 minhashes, the pair shuffle, the exact Jaccard — works on
@@ -185,7 +197,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swap in production). eager=False keeps fn() lazily-planned for
     # the plan-inspection sweeps; values are unchanged either way, so
     # run-twice determinism holds bit-exactly.
-    sig = sig.localCheckpoint(eager=False)
+    return sig.localCheckpoint(eager=False)
+
+
+def _near_pairs(sig: DataFrame) -> DataFrame:
+    """Band, bucket-join, and exact-Jaccard-filter a signature
+    relation from :func:`_minhash_sig` — dedup_near's second half."""
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -523,18 +540,23 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides.
 
     df is derived from tf (whose rows ARE the distinct (doc, term)
-    pairs: df = tf.groupBy(w).count) rather than a countDistinct over
-    a second tokenize — same physical cost today (Catalyst prunes the
-    df branch's partial aggregate down to the distinct keys, so the
-    two exchanges stay distinct and both branches scan the corpus),
-    but the honest formulation: one logical tokenize, and a cache or
-    checkpoint of tf at 100 TB collapses it to one physical pass. The
-    hot-token skew answer is map-side combine in both aggregates —
-    never a window over partitionBy(w), which would buffer every
-    occurrence of 'the' in one task."""
+    pairs: df = tf.groupBy(w).count) and tf is MATERIALIZED once
+    (localCheckpoint, the dedup_near barrier pattern): without the
+    barrier the df branch and the main join each re-ran the
+    tokenize+explode+groupBy pipeline — two corpus scans per run,
+    measured 10.8x wall at the r6 100x census; with it the corpus is
+    tokenized exactly once and tf (a fraction of corpus bytes — no
+    text, just (doc, term, count)) feeds both branches. The hot-token
+    skew answer is map-side combine in both aggregates — never a
+    window over partitionBy(w), which would buffer every occurrence
+    of 'the' in one task."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     return (
