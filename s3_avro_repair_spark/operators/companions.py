@@ -657,3 +657,47 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, sim_ann_ivf(spark, sf_dir), 0.6,
         sim_knn_topk(spark, sf_dir),
     )
+
+
+@register(
+    "dedup_exact_normalized_counts",
+    group="X",
+    oracle="""
+    WITH n AS (
+      SELECT trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) - COUNT(DISTINCT norm) AS BIGINT) AS n_collapsed
+    FROM n
+    """,
+)
+def dedup_exact_normalized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion for dedup_exact_normalized, whose own driver row is
+    VACUOUS on fixtures with no normalized duplicates (0 rows on both
+    engines proves only that both agree nothing collapsed — r6
+    verdict). This emits the corpus-level counts of the SAME
+    normalization: n_docs (non-null texts), n_groups (distinct
+    normalized forms — Spark counts md5 digests, identical modulo a
+    2^-128 collision, so the shuffle moves 32-byte keys, never text),
+    n_collapsed = docs minus groups = exactly the number of dup_id
+    rows dedup_exact_normalized would emit. One row on ANY corpus, so
+    the driver hash pins the normalization semantics even when the
+    planted-duplicate case (tests/test_extensions.py) is the only
+    place pairs exist."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(F.md5(norm).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_groups"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_collapsed"),
+    )
