@@ -75,6 +75,12 @@ SECONDARY = [
     "dedup_clusters_bigstar", # O(log n) big-star/small-star CC
     "dedup_near",             # banded MinHash + rank-capped bucket join
     "sim_ann_lsh",            # banded E2LSH + 256-member probe budget
+    # r7: the census heavyweights, promoted so round-over-round
+    # regressions are guarded (r6 verdict item 5); first recorded r7,
+    # guard comparisons start r8:
+    "udtf_apply_in_pandas",   # per-group pandas boundary — costliest op at 100x
+    "sim_ann_ivf",            # KMeans cells + nprobe=3 multi-probe
+    "dedup_near_recall",      # 3 composed pipelines over one shingle checkpoint
 ]
 
 
@@ -191,7 +197,24 @@ def main() -> int:
     )
 
     timings = time_tier(headline, prev_headline, esc_env)
-    secondary_timings = time_tier(secondary, prev_secondary, esc_env)
+    # The secondary tier's escalation can see the BETTER drift estimate
+    # the guard will actually use: once the headline tier is timed, the
+    # median-drift fallback is available even when no prior calib
+    # exists (pre-probe rounds) — without it, a uniformly slow machine
+    # escalates every secondary query to 4 runs chasing breaches the
+    # normalized guard never reports (r6 ADVICE).
+    esc_env_2 = esc_env
+    if prev_headline and not only:
+        try:
+            esc_env_2 = max(
+                esc_env,
+                env_drift_factor(
+                    timings, prev_headline, calib, _prev_calib
+                ),
+            )
+        except Exception:
+            pass
+    secondary_timings = time_tier(secondary, prev_secondary, esc_env_2)
 
     total = round(sum(timings.values()), 3)
     if only:

@@ -223,14 +223,25 @@ def main() -> int:
         ratio = t10 / t01 if t01 > 0 else float("inf")
         jratio = (j10 / j01) if j01 and j01 > 0 and j10 >= 0 else None
         rows.append((name, t01, t10, ratio, j01, j10, jratio))
-        # -1 is the metrics-unreadable sentinel: print nothing rather
-        # than a nonsense negative count census_report cannot parse.
-        jtxt = (
-            f" joined {j01} -> {j10}"
-            + (f" ({jratio:.1f}x)" if jratio is not None else "")
-            if (j01 > 0 or j10 > 0) and j01 >= 0 and j10 >= 0
-            else ""
-        )
+        # -1 is the metrics-unreadable sentinel: never print it as a
+        # nonsense negative count — but when only ONE side is
+        # unreadable, keep the readable side with a '?' placeholder
+        # instead of silently dropping both (r6 ADVICE). census_report
+        # derives ratios only from fully-numeric pairs, so the '?'
+        # lines are informational and parse-safe (no ratio suffix).
+        if j01 >= 0 and j10 >= 0:
+            jtxt = (
+                f" joined {j01} -> {j10}"
+                + (f" ({jratio:.1f}x)" if jratio is not None else "")
+                if (j01 > 0 or j10 > 0)
+                else ""
+            )
+        elif j01 >= 0 or j10 >= 0:
+            a = str(j01) if j01 >= 0 else "?"
+            b = str(j10) if j10 >= 0 else "?"
+            jtxt = f" joined {a} -> {b}"
+        else:
+            jtxt = ""
         print(f"{name}: {t01:.2f}s -> {t10:.2f}s ({ratio:.1f}x){jtxt}", flush=True)
 
     hot = sorted((r for r in rows if r[3] > flag), key=lambda r: -r[3])
