@@ -539,3 +539,173 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n >= 3, F.round(big_g1, 4) + F.lit(0)).alias("skew"),
         F.when(n >= 4, F.round(big_g2, 4) + F.lit(0)).alias("kurt"),
     )
+
+
+@register(
+    "text_bm25",
+    group="X",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl
+              FROM dl),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w)
+    SELECT tf.doc_id, tf.w AS term,
+           ROUND(
+             LN((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                / (CAST(sum_dl AS DOUBLE)
+                                   / CAST(n_docs AS DOUBLE)))),
+             6) AS bm25
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN df ON tf.w = df.w, stats
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 term weights (k1=1.2, b=0.75) — the retrieval /
+    quality-scoring upgrade of text_tfidf, saturating term frequency
+    and normalizing by document length. Every intermediate count (tf,
+    df, doc length, corpus totals) stays an exact integer until the
+    final double expression, which both engines evaluate over the same
+    tree — no floating aggregation order can flip the 6-dp round
+    (idf uses the +1 'plus-one' smoothing so weights are strictly
+    positive: no signed-zero normalization needed).
+
+    Plan: ONE tokenize feeds everything — tf is materialized
+    (localCheckpoint, the text_tfidf barrier) and then re-aggregated
+    into doc lengths (sum of tf per doc — never a second corpus
+    scan), document frequencies (vocabulary-sized, broadcast), and
+    the 1-row corpus stats (broadcast). The only corpus-scale
+    shuffles are the tf groupBy and the tf-to-doc-length join on
+    doc_id; doc lengths scale with the corpus, so that join is
+    deliberately NOT broadcast."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    avg_dl = F.col("sum_dl").cast("double") / nd
+    bm25 = (
+        F.log((nd - dfd + 0.5) / (dfd + 0.5) + 1.0)
+        * (tfd * 2.2)
+        / (tfd + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / avg_dl))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "w")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(bm25, 6).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    group="X",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS l
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, source,
+             l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      FROM toks CROSS JOIN UNNEST(generate_series(1, len(l) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT lang, source, shingle, COUNT(*) AS df
+              FROM sh GROUP BY 1, 2, 3),
+    rare AS (SELECT sh.doc_id, sh.lang, sh.source, sh.shingle
+             FROM sh JOIN dfreq
+               ON dfreq.lang = sh.lang AND dfreq.source = sh.source
+              AND dfreq.shingle = sh.shingle
+             WHERE dfreq.df <= 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_both
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+           ROUND(CAST(n_both AS DOUBLE) / LEAST(sa.n, sb.n), 4)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_both AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT —
+    max-containment C = |Sa ∩ Sb| / min(|Sa|, |Sb|) >= 0.7 — the
+    Broder measure that catches quote/excerpt/superset relations
+    Jaccard structurally cannot (a 100-shingle doc fully contained in
+    a 10,000-shingle doc has J ~ 0.01 but C = 1.0; training corpora
+    are full of exactly this: articles embedded in crawls, README
+    files inside concatenated repos). contained_id names the smaller
+    (contained) side, smaller doc_id on ties.
+
+    Plan: identical bounded-candidate layout to dedup_ngram_jaccard
+    (same (lang, source) blocks, same per-block df<=16 rare-shingle
+    cap — per-shingle join fanout <= 256 at any corpus size; a pair
+    sharing only stop-shingles is not scored, the right call when
+    shared boilerplate is the noise), then exact containment on the
+    FULL distinct-shingle sets of survivors via one array_intersect
+    per pair — candidates join back to the per-doc shingle ARRAYS, so
+    stage 2 never explodes. Division is doubles-from-exact-ints over
+    a shared expression tree; min sizes >= 1 by construction."""
+    from .llm import _ngram_candidates
+
+    cand, sh_arr = _ngram_candidates(spark, sf_dir)
+    fa = sh_arr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    fb = sh_arr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    n_both = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c = n_both / F.least("na", "nb").cast("double")
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("containment", c)
+        .filter(F.col("containment") >= 0.7)
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            F.round("containment", 4).alias("containment"),
+        )
+    )

@@ -361,6 +361,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive formulation (shared CTE referenced by sizes/dfreq/both join
     sides) re-scans and re-shingles the corpus 8x; at 100 TB that is
     the whole job's cost."""
+    cand, sh_arr = _ngram_candidates(spark, sf_dir)
+    fa = sh_arr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    fb = sh_arr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    # Equal-array fast path: duplicate-heavy corpora make identical
+    # (already-distinct) shingle arrays the common candidate case, and
+    # the O(n) equality check skips the intersect's hash-set build.
+    # both == size(sh_a) == na there, so the value is unchanged.
+    scored = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn(
+            "both",
+            F.when(F.col("sh_a") == F.col("sh_b"), F.col("na")).otherwise(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+            ),
+        )
+    )
+    jac = F.col("both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("both")
+    )
+    return (
+        scored.filter(jac >= 0.12)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _ngram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """dedup_ngram_jaccard's bounded candidate generator, shared with
+    extensions.dedup_containment: returns (cand, sh_arr) where sh_arr
+    carries each doc's DISTINCT 3-shingle array + its size and cand is
+    the deduplicated id_a < id_b pairs sharing a rare shingle (per-
+    (lang, source)-block document frequency <= 16 — per-shingle join
+    fanout bounded by df^2 <= 256 at any corpus size)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     sh_arr = (
         d.withColumn("tokens", F.split("text", " "))
@@ -403,37 +446,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    fa = sh_arr.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("na"),
-    )
-    fb = sh_arr.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("nb"),
-    )
-    # Equal-array fast path: duplicate-heavy corpora make identical
-    # (already-distinct) shingle arrays the common candidate case, and
-    # the O(n) equality check skips the intersect's hash-set build.
-    # both == size(sh_a) == na there, so the value is unchanged.
-    scored = (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
-        .withColumn(
-            "both",
-            F.when(F.col("sh_a") == F.col("sh_b"), F.col("na")).otherwise(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-            ),
-        )
-    )
-    jac = F.col("both").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("both")
-    )
-    return (
-        scored.filter(jac >= 0.12)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return cand, sh_arr
 
 
 # ---------------------------------------------------------------------------

@@ -285,3 +285,60 @@ def test_skew_kurtosis_matches_manual_sample_statistics(
     assert out.loc["A", "kurt"] == pytest.approx(round(big_g2, 4), abs=1e-9)
     assert int(out.loc["A", "n"]) == 5
     assert pd.isna(out.loc["B", "skew"]) and pd.isna(out.loc["B", "kurt"])
+
+
+def test_containment_catches_excerpt_jaccard_misses(
+    spark, tmp_path_factory
+):
+    """The planted excerpt relation: doc 2 is a verbatim slice of the
+    much longer doc 1, so max-containment is 1.0 while Jaccard is far
+    below dedup_ngram_jaccard's 0.12 floor — the asymmetric case this
+    operator exists for. Doc 3 shares nothing and must not pair."""
+    tmp = tmp_path_factory.mktemp("containment")
+    long_doc = " ".join(f"w{i}" for i in range(120))
+    excerpt = " ".join(f"w{i}" for i in range(40, 50))
+    rows = [
+        (1, long_doc),
+        (2, excerpt),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    out = (
+        _OPS["dedup_containment"]
+        .fn(spark, _docs(tmp, rows))
+        .toPandas()
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.id_a, r.id_b, r.contained_id) == (1, 2, 2)
+    assert r.containment == 1.0
+    # the same pair is invisible to symmetric Jaccard at its threshold
+    jac = _OPS["dedup_ngram_jaccard"].fn(spark, _docs(tmp, rows)).toPandas()
+    assert len(jac) == 0
+
+
+def test_bm25_saturates_tf_and_penalizes_common_terms(
+    spark, tmp_path_factory
+):
+    """BM25's two defining behaviors on a planted corpus: (a) a term
+    in EVERY doc scores strictly below a same-tf rare term (idf
+    monotonicity), and (b) doubling tf less than doubles the weight
+    (k1 saturation)."""
+    tmp = tmp_path_factory.mktemp("bm25")
+    rows = [
+        (1, "common rare pad1a pad1b"),
+        (2, "common filler filler filler"),
+        (3, "common filler pad3a pad3b"),
+    ]
+    out = (
+        _OPS["text_bm25"]
+        .fn(spark, _docs(tmp, rows))
+        .toPandas()
+        .set_index(["doc_id", "term"])
+    )
+    # idf monotonicity: same tf (1), same doc -> rare (df=1) beats
+    # common (df=3, every doc)
+    assert out.loc[(1, "rare")].bm25 > out.loc[(1, "common")].bm25 > 0
+    # k1 saturation: same term (same idf), same doc length -> tf=3
+    # scores more than tf=1 but strictly less than 3x it
+    sat = out.loc[(2, "filler")].bm25 / out.loc[(3, "filler")].bm25
+    assert 1.0 < sat < 3.0
