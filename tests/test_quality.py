@@ -214,8 +214,11 @@ def test_shuffle_budget_everywhere(spark, sf_dir):
         # sketch under test AND an exact baseline — plus the
         # intersection joins that compare them, so their budget is
         # roughly the sum of their parts (dedup_near_recall = dedup_near
-        # ~6 + ngram-jaccard truth ~4 + string-shingle precision pass):
-        "dedup_near_recall": 16,
+        # ~6 + ngram-jaccard truth ~4 + string-shingle precision pass;
+        # r7 adds the bounded sampled threshold recheck — one global
+        # top-256 sort + two shingle joins — which is what buys the
+        # emitted-pair >= 0.5 claim injectivity alone cannot check):
+        "dedup_near_recall": 19,
         "dedup_simhash_recall": 11,
         # lsh_recall runs the sketch + the exact euclid truth + the
         # per-query distance-ratio (qgood) aggregate + the pair/tie
