@@ -581,11 +581,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE tokenize feeds everything — tf is materialized
     (localCheckpoint, the text_tfidf barrier) and then re-aggregated
     into doc lengths (sum of tf per doc — never a second corpus
-    scan), document frequencies (vocabulary-sized, broadcast), and
-    the 1-row corpus stats (broadcast). The only corpus-scale
-    shuffles are the tf groupBy and the tf-to-doc-length join on
-    doc_id; doc lengths scale with the corpus, so that join is
-    deliberately NOT broadcast."""
+    scan), document frequencies, and the 1-row corpus stats
+    (broadcast-hinted — the only O(1) relation here). Doc lengths AND
+    the vocabulary both grow with the corpus, so neither join carries
+    a hint: the estimator broadcasts them at fixture scale and
+    degrades to shuffle joins at 100 TB."""
     d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = (
@@ -608,8 +608,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (tfd + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / avg_dl))
     )
     return (
+        # df is vocabulary-sized and grows with the corpus — unhinted
+        # (estimator broadcasts at fixture scale); the 1-row stats
+        # relation stays hinted.
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "w")
+        .join(df, "w")
         .join(F.broadcast(stats))
         .select(
             "doc_id",

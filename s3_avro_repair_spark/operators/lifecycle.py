@@ -369,14 +369,17 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum id — dedup_clusters' label), all other members are dropped
     via a LEFT ANTI join of the corpus against non-canonical cluster
     rows. Singletons pass through untouched (they never enter the
-    graph). The anti join broadcasts the duplicate-id list — it is
-    near-dup-pair-sized, orders smaller than the corpus — so the
-    corpus-side scan is shuffle-free. This is the op a training-data
-    pipeline actually runs; clusters/pairs are its diagnostics."""
+    graph). The duplicate-id list is usually orders smaller than the
+    corpus but has NO bound — a 90%-duplicate crawl makes it
+    0.9x corpus — so the anti join is unhinted (r7): the estimator
+    broadcasts it at fixture scale (corpus scan stays shuffle-free)
+    and degrades to a shuffle anti join on a duplicate pile instead
+    of OOMing the driver. This is the op a training-data pipeline
+    actually runs; clusters/pairs are its diagnostics."""
     labels = _cluster_labels(spark, sf_dir)
     dupes = labels.filter(F.col("cluster_id") != F.col("vec_id")).select("vec_id")
     e = table(spark, sf_dir, "embeddings")
-    return e.join(F.broadcast(dupes), "vec_id", "left_anti").select(
+    return e.join(dupes, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
 

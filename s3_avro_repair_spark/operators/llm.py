@@ -573,7 +573,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     return (
-        tf.join(F.broadcast(df), "w")
+        # df is vocabulary-sized — it GROWS with the corpus (Heaps'
+        # law), so no broadcast hint: the estimator broadcasts it at
+        # fixture scale and shuffle-joins real vocabularies (the
+        # text_perplexity_unigram posture). The 1-row N stays hinted.
+        tf.join(df, "w")
         .join(F.broadcast(n))
         .filter(F.col("df") < F.col("n"))
         .select(
@@ -626,9 +630,12 @@ def text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables as sum-over-() windows: a single-task pass over VOCAB-sized
     rows, replacing the two scalar-subquery aggregates that each
     re-tokenized the whole corpus. The unigram table then joins back
-    TWICE (once per bigram side) as broadcasts. Physical result: 3
-    corpus scans/explodes (bigram side + one per broadcast side) down
-    from 5; at 100 TB the corpus passes are the entire cost and the
+    TWICE (once per bigram side) — unhinted (r7): vocabulary GROWS
+    with the corpus (Heaps' law), so the estimator broadcasts it at
+    fixture scale and shuffle-joins real vocabularies instead of a
+    forced multi-GB build side. Physical result: 3 corpus
+    scans/explodes (bigram side + one per unigram side) down from 5;
+    at 100 TB the corpus passes are the entire cost and the
     vocab-sized window is noise. The PMI argument is a ratio of exact
     integer counts, so ln() sees the same double on both engines and
     6 dp rounding is stable."""
@@ -667,8 +674,8 @@ def text_collocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.filter(F.col("c") >= 5)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select(
             F.concat_ws(" ", "w1", "w2").alias("bigram"),
             F.col("c").cast("bigint").alias("n"),

@@ -142,9 +142,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # contaminated is usually tiny but has NO size bound — under
+    # boilerplate overlap every doc can match a bench n-gram, making
+    # it corpus-proportional — so the anti join is unhinted (r7): the
+    # estimator broadcasts it at fixture scale and shuffle-joins the
+    # adversarial case. Only `bench` (panel-bounded) keeps its hint.
     return (
         d.filter(F.col("doc_id") % stride != 0)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang")
     )
 

@@ -771,3 +771,42 @@ def test_no_broadcast_hints_on_sf_scaling_tables():
             assert f'"{t}"' not in arg, (
                 f"F.broadcast({arg!r}) hints an SF-scaling {t} scan"
             )
+
+
+def test_no_corpus_proportional_broadcast_hints_in_llm_modules():
+    """The r6c audit class, generalized (r7): a broadcast hint is
+    legal only on a relation with a SIZE BOUND independent of corpus
+    size — a bounded panel, a 1-row aggregate, a fixed-fence table.
+    Vocabulary relations (Heaps-law growth), duplicate-id lists (a
+    duplicate pile makes them corpus-sized), and matched-doc sets
+    (boilerplate overlap makes them corpus-sized) are NOT bounded and
+    were unhinted in r7 — the estimator still broadcasts them at
+    fixture scale, and at 100 TB the plan degrades instead of OOMing.
+    Same mechanism as the composite.py guard: pin the allowed
+    argument roots per module."""
+    import re
+    from pathlib import Path
+
+    import s3_avro_repair_spark.operators as P
+
+    allowed = {
+        # bounded panels (query_panel) + 1-row N
+        "llm": {"n", "q", "qe"},
+        # 1-row totals/stats + per-event-type fences + centroids
+        "extensions": {"total", "med", "mad", "cent", "stats"},
+        # panel-bounded benchmark n-gram set only — never `contaminated`
+        "llm_pipeline": {"bench"},
+        # no hints at all: dupes/changes relations are unbounded
+        "lifecycle": set(),
+    }
+    root = Path(P.__file__).parent
+    for mod, roots in allowed.items():
+        src = (root / f"{mod}.py").read_text()
+        found = {
+            m.group(1)
+            for m in re.finditer(r"F\.broadcast\((\w+)", src)
+        }
+        assert found <= roots, (
+            f"{mod}.py broadcasts unpinned roots {found - roots}: prove "
+            f"each has a corpus-independent size bound, then pin it here"
+        )
