@@ -881,6 +881,55 @@ def avro_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_scan_projected",
+    group="E",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
+    """,
+)
+def avro_scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned container scan: decode ONLY the projected fields
+    by reading under a reader schema that is a 2-field subset of the
+    5-field writer schema — the Schema Resolution skip machinery
+    (avro_codec.decode_resolved) walks the unselected fields
+    byte-exactly without materializing a single Python value for them.
+    This is predicate-free column pruning pushed INTO the Avro decode:
+    parquet gets it from the format's columnar layout, row-oriented
+    Avro only gets it by skipping, and at 100 TB a 2-of-5-field read
+    cuts the Python/Arrow materialization (the scan's dominant cost —
+    the bytes are read either way) proportionally. The reference's
+    avro-tools delegate has no projected read at all: its ``cat``
+    always decodes full records."""
+    from ..avro_codec import read_ocf_resolved
+
+    root = ensure_avro_fixtures(sf_dir)
+    projected = {
+        "type": "record",
+        "name": ORDERS_SCHEMA["name"],
+        "fields": [
+            f
+            for f in ORDERS_SCHEMA["fields"]
+            if f["name"] in ("o_orderkey", "o_totalprice")
+        ],
+    }
+    names = [f["name"] for f in projected["fields"]]
+
+    def decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                recs = read_ocf_resolved(bytes(content), projected)
+                if recs:
+                    yield pd.DataFrame(recs, columns=names)
+        yield pd.DataFrame({n: [] for n in names})
+
+    bf = _binary_files(spark, os.path.join(root, "clean"), n_tasks=N_FILES)
+    return bf.select("content").mapInPandas(
+        decode, schema="o_orderkey long, o_totalprice double"
+    )
+
+
+@register(
     "avro_stats",
     group="E",
     oracle=f"""
