@@ -712,3 +712,112 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("containment", 4).alias("containment"),
         )
     )
+
+
+@register(
+    "corpus_filter_report",
+    group="X",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             COALESCE(len(string_split(text, ' ')), 0) AS n_tok,
+             COALESCE(len(list_distinct(string_split(text, ' '))), 0)
+               AS n_dis,
+             COALESCE(len(list_filter(string_split(text, ' '),
+                                      x -> regexp_matches(x, '[0-9]'))), 0)
+               AS n_num,
+             n_chars
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             NOT (n_tok BETWEEN 20 AND 90) AS f_len,
+             NOT (n_tok > 0 AND n_dis >= 0.25 * n_tok) AS f_ttr,
+             NOT (n_tok > 0 AND n_chars IS NOT NULL
+                  AND CAST(n_chars AS DOUBLE) / n_tok BETWEEN 2 AND 12)
+               AS f_cpt,
+             NOT (n_tok > 0 AND n_num <= 0.5 * n_tok) AS f_num
+      FROM m
+    )
+    SELECT rule, n_fail,
+           CAST(COUNT(*) OVER () AS BIGINT) * 0 + total AS n_docs
+    FROM (
+      SELECT 'len' AS rule,
+             CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+             CAST(COUNT(*) AS BIGINT) AS total FROM f
+      UNION ALL
+      SELECT 'ttr',
+             CAST(SUM(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 'chars_per_token',
+             CAST(SUM(CASE WHEN f_cpt THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 'numeric_tokens',
+             CAST(SUM(CASE WHEN f_num THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM f
+      UNION ALL
+      SELECT 'any',
+             CAST(SUM(CASE WHEN f_len OR f_ttr OR f_cpt OR f_num
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT) FROM f
+    )
+    """,
+)
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RULE drop accounting for the corpus quality gate — the
+    audit a CCNet/Gopher-style pipeline publishes alongside its kept
+    corpus (total drop counts alone cannot tell an over-aggressive
+    length band from a boilerplate flood). Four Gopher-shaped rules
+    evaluated per document in ONE narrow projection (length band,
+    type-token ratio, mean chars-per-token band, numeric-token
+    fraction; NULL text fails every rule — an unparseable doc is
+    dropped, never silently kept), then a single partial+final
+    aggregate and a 5-row stack — per-rule failure counts plus the
+    'any' row (docs failing at least one rule, i.e. total dropped).
+    At 100 TB: one corpus scan, zero joins, the aggregate carries 4
+    ints; the stack happens on 1 row."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_dis = F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
+    n_num = F.coalesce(
+        F.size(F.expr(r"filter(split(text, ' '), x -> x rlike '[0-9]')")),
+        F.lit(0),
+    )
+    flags = d.select(
+        (~n_tok.between(20, 90)).alias("f_len"),
+        (~((n_tok > 0) & (n_dis >= 0.25 * n_tok))).alias("f_ttr"),
+        (
+            ~(
+                (n_tok > 0)
+                & F.col("n_chars").isNotNull()
+                & (F.col("n_chars").cast("double") / n_tok).between(2, 12)
+            )
+        ).alias("f_cpt"),
+        (~((n_tok > 0) & (n_num <= 0.5 * n_tok))).alias("f_num"),
+    )
+    one = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    agg = flags.agg(
+        one("f_len").alias("len_f"),
+        one("f_ttr").alias("ttr_f"),
+        one("f_cpt").alias("cpt_f"),
+        one("f_num").alias("num_f"),
+        F.sum(
+            F.when(
+                F.col("f_len") | F.col("f_ttr") | F.col("f_cpt") | F.col("f_num"),
+                1,
+            ).otherwise(0)
+        ).alias("any_f"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 'len', len_f, 'ttr', ttr_f,"
+            " 'chars_per_token', cpt_f, 'numeric_tokens', num_f,"
+            " 'any', any_f) AS (rule, n_fail)"
+        ),
+        F.col("total").alias("n_docs"),
+    )

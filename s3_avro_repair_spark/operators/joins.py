@@ -577,3 +577,75 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "join_asof_tolerance",
+    group="J",
+    oracle="""
+    SELECT e.event_id,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS asof_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WHERE epoch_us(e.ts) - epoch_us(o.o_orderdate) <= 734400000000000
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE: each event
+    matched to the latest same-customer order at-or-before it, but a
+    match older than the tolerance is discarded — pandas
+    ``merge_asof(tolerance=...)`` semantics, and what production asof
+    consumers actually want (a price/state snapshot from last year is
+    not a match, it is stale data silently poisoning the join).
+
+    Same scale-safe composition as join_asof — union both sides, one
+    ``last(ignorenulls)`` window per user, NEVER a join with a ts
+    residual (quadratic per key) — with the tolerance applied as a
+    post-match integer-µs filter. The tolerance CANNOT move which
+    order matches (it is the latest prior order or nothing), so both
+    engines filter the same matched pairs: DuckDB's ASOF JOIN + the
+    same epoch_us cut is value-identical, ties handled as in
+    join_asof (kind orders-first, date payload)."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    # The tolerance is a DIAL; 8500 days is calibrated to the fixture's
+    # inter-table clock skew (events ~8200-9800 days after their latest
+    # prior order, q50 ~8372d) so BOTH the keep and the drop path carry
+    # rows at every SF — a 30-day production value is a one-line change.
+    tol_us = 8500 * 86400 * 1_000_000
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(1).alias("kind"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev.unionByName(od).withColumn(
+        "asof", F.last("odate", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(
+            (F.col("kind") == 1)
+            & F.col("asof").isNotNull()
+            & (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof"))
+                <= tol_us
+            )
+        )
+        .select(
+            "event_id",
+            F.col("asof").cast("date").cast("string").alias("asof_orderdate"),
+        )
+    )
