@@ -810,3 +810,49 @@ def test_no_corpus_proportional_broadcast_hints_in_llm_modules():
             f"{mod}.py broadcasts unpinned roots {found - roots}: prove "
             f"each has a corpus-independent size bound, then pin it here"
         )
+
+
+def test_r7_new_ops_joined_rows_laws(spark, sf_dir):
+    """Analytic joined-rows laws for the r7 additions, same contract
+    as test_joined_rows_obey_linear_law:
+
+    - text_bm25: the tf->df join emits one row per (doc, term) pair
+      and the tf->dl join the same; the 1-row stats attach adds one
+      more pass -> <= 3 x |tf|. |tf| <= total token instances.
+    - dedup_containment: shares dedup_ngram_jaccard's candidate
+      generator — df<=16 cap means each rare shingle contributes
+      <= 16x15/2 candidate pairs pre-distinct, and stage 2 adds two
+      array-attach joins over the distinct pairs. The corpus-level
+      bound tracks the shingle-instance count (each rare instance joins
+      <= 16 partners): <= 16 x instances + 2 x pairs; conservatively
+      32 x total shingle instances.
+    - join_asof_tolerance: NOT a join at all (union + window) — its
+      plan must contain ZERO join nodes, like join_asof.
+    """
+    import pyspark.sql.functions as SF
+
+    from tools.scaling_census import _join_output_rows
+
+    def plan_of(name):
+        df = _OPS[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan()
+        plan.execute().count()
+        if plan.nodeName() == "AdaptiveSparkPlan":
+            plan = plan.executedPlan()
+        return plan
+
+    def joined(name):
+        return _join_output_rows(plan_of(name))
+
+    n_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("text IS NOT NULL")
+        .select(SF.sum(SF.size(SF.split("text", " "))).alias("s"))
+        .collect()[0]["s"]
+    ) or 0
+    assert joined("text_bm25") <= 3 * n_tokens
+    # shingle instances <= token instances (one 3-shingle per token
+    # position); pairs bounded by the df-cap argument
+    assert joined("dedup_containment") <= 32 * n_tokens
+    plan = plan_of("join_asof_tolerance").toString()
+    assert "Join" not in plan, f"asof-tolerance plan contains a join:\n{plan}"
