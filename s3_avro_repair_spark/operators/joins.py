@@ -649,3 +649,96 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("asof").cast("date").cast("string").alias("asof_orderdate"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    group="J",
+    oracle="""
+    WITH b AS (
+      SELECT e.event_id, o.o_orderdate AS bdate
+      FROM events e ASOF JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ),
+    f AS (
+      SELECT e.event_id, o.o_orderdate AS fdate
+      FROM events e ASOF JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    )
+    SELECT e.event_id,
+           CAST(CAST(CASE
+             WHEN bdate IS NULL THEN fdate
+             WHEN fdate IS NULL THEN bdate
+             WHEN epoch_us(e.ts) - epoch_us(bdate)
+                  <= epoch_us(fdate) - epoch_us(e.ts) THEN bdate
+             ELSE fdate END AS DATE) AS VARCHAR) AS nearest_orderdate
+    FROM events e
+    LEFT JOIN b ON b.event_id = e.event_id
+    LEFT JOIN f ON f.event_id = e.event_id
+    WHERE bdate IS NOT NULL OR fdate IS NOT NULL
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — pandas ``merge_asof(direction='nearest')``,
+    completing the family (join_asof backward, join_asof_forward
+    forward): each event matched to the same customer's CLOSEST order
+    in time, either direction, ties resolved backward (an equal-ts
+    order is distance 0 on the backward side, so both engines pick it
+    by the same <= rule).
+
+    One union, ONE sort: both directions come out of the same
+    partitionBy(user)/orderBy(ts, kind) sort as two frames — a
+    trailing ``last(ignorenulls)`` and a leading ``first(ignorenulls)``
+    (the ts_interpolate multi-frame trick: identical partition+order
+    specs plan a single Window sort). Orders sort before events at
+    equal ts (kind 0 < 1) so ties land in the backward frame. The
+    nearest pick is then integer-µs arithmetic on the two candidate
+    dates. Never a join with a ts residual — linear in
+    |events| + |orders| with one shuffle, at any skew."""
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    ev = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(1).alias("kind"),
+    )
+    od = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.lit(0).alias("kind"),
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "kind")
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged = ev.unionByName(od).select(
+        "event_id",
+        "ts",
+        "kind",
+        F.last("odate", ignorenulls=True).over(w_back).alias("bdate"),
+        F.first("odate", ignorenulls=True).over(w_fwd).alias("fdate"),
+    )
+    us = F.unix_micros
+    nearest = (
+        F.when(F.col("bdate").isNull(), F.col("fdate"))
+        .when(F.col("fdate").isNull(), F.col("bdate"))
+        .when(
+            us(F.col("ts")) - us(F.col("bdate"))
+            <= us(F.col("fdate")) - us(F.col("ts")),
+            F.col("bdate"),
+        )
+        .otherwise(F.col("fdate"))
+    )
+    return (
+        merged.filter(
+            (F.col("kind") == 1)
+            & (F.col("bdate").isNotNull() | F.col("fdate").isNotNull())
+        )
+        .select(
+            "event_id",
+            nearest.cast("date").cast("string").alias("nearest_orderdate"),
+        )
+    )

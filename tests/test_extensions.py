@@ -342,3 +342,48 @@ def test_bm25_saturates_tf_and_penalizes_common_terms(
     # scores more than tf=1 but strictly less than 3x it
     sat = out.loc[(2, "filler")].bm25 / out.loc[(3, "filler")].bm25
     assert 1.0 < sat < 3.0
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_backward(
+    spark, tmp_path_factory
+):
+    """The fixture's events all postdate every order, so the driver
+    row exercises only the backward arm — this planted case pins the
+    other two: an event strictly closer to its NEXT order must take
+    the forward date, and an exactly-equidistant event must resolve
+    BACKWARD (the <= rule both engines share). An event with no order
+    at all for its user is dropped (inner semantics)."""
+    tmp = tmp_path_factory.mktemp("asof_nearest")
+    _events(
+        tmp,
+        [
+            (1, "2024-01-10 00:00:00", 7, "t", 1.0),  # closer to Jan 1 (back)
+            (2, "2024-01-25 00:00:00", 7, "t", 1.0),  # closer to Feb 1 (fwd)
+            (3, "2024-01-16 12:00:00", 7, "t", 1.0),  # equidistant -> back
+            (4, "2024-03-01 00:00:00", 9, "t", 1.0),  # user 9: no orders
+        ],
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [7, 7],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-02-01"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    orders.to_parquet(str(tmp / "orders.parquet"))
+    out = (
+        _OPS["join_asof_nearest"]
+        .fn(spark, str(tmp))
+        .toPandas()
+        .set_index("event_id")
+        .nearest_orderdate
+    )
+    assert out.to_dict() == {
+        1: "2024-01-01",
+        2: "2024-02-01",
+        3: "2024-01-01",
+    }

@@ -51,7 +51,7 @@ def test_contract_shape():
     # the rows-only sketch ops) + the 10 r6 extension ops
     # (operators/extensions.py). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 253
+    assert len(qs) == 254
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
