@@ -655,27 +655,37 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_nearest",
     group="J",
     oracle="""
-    WITH b AS (
-      SELECT e.event_id, o.o_orderdate AS bdate
-      FROM events e ASOF JOIN orders o
-        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    WITH merged AS (
+      SELECT user_id, ts, event_id,
+             CAST(NULL AS TIMESTAMP) AS odate, 1 AS kind
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id, o_orderdate AS ts,
+             CAST(NULL AS BIGINT) AS event_id,
+             o_orderdate AS odate, 0 AS kind
+      FROM orders
     ),
-    f AS (
-      SELECT e.event_id, o.o_orderdate AS fdate
-      FROM events e ASOF JOIN orders o
-        ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    win AS (
+      SELECT event_id, ts, kind,
+             last_value(odate IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS bdate,
+             first_value(odate IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS fdate
+      FROM merged
     )
-    SELECT e.event_id,
+    SELECT event_id,
            CAST(CAST(CASE
              WHEN bdate IS NULL THEN fdate
              WHEN fdate IS NULL THEN bdate
-             WHEN epoch_us(e.ts) - epoch_us(bdate)
-                  <= epoch_us(fdate) - epoch_us(e.ts) THEN bdate
+             WHEN epoch_us(ts) - epoch_us(bdate)
+                  <= epoch_us(fdate) - epoch_us(ts) THEN bdate
              ELSE fdate END AS DATE) AS VARCHAR) AS nearest_orderdate
-    FROM events e
-    LEFT JOIN b ON b.event_id = e.event_id
-    LEFT JOIN f ON f.event_id = e.event_id
-    WHERE bdate IS NOT NULL OR fdate IS NOT NULL
+    FROM win
+    WHERE kind = 1 AND (bdate IS NOT NULL OR fdate IS NOT NULL)
     """,
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,7 +704,13 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal ts (kind 0 < 1) so ties land in the backward frame. The
     nearest pick is then integer-µs arithmetic on the two candidate
     dates. Never a join with a ts residual — linear in
-    |events| + |orders| with one shuffle, at any skew."""
+    |events| + |orders| with one shuffle, at any skew.
+
+    The oracle mirrors the SAME union+two-frame window formulation in
+    DuckDB (IGNORE NULLS frames) rather than re-joining ASOF CTEs back
+    on event_id: a re-join fans out 2x2 on duplicate event_ids (the
+    production shard plants 3 full-row dup ids), while both these
+    row-keyed plans emit exactly one row per event ROW."""
     e = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
     ev = e.select(
