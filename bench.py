@@ -205,15 +205,10 @@ def main() -> int:
     # normalized guard never reports (r6 ADVICE).
     esc_env_2 = esc_env
     if prev_headline and not only:
-        try:
-            esc_env_2 = max(
-                esc_env,
-                env_drift_factor(
-                    timings, prev_headline, calib, _prev_calib
-                ),
-            )
-        except Exception:
-            pass
+        factor, _basis = env_drift_factor(
+            timings, prev_headline, calib, _prev_calib
+        )
+        esc_env_2 = max(esc_env, factor)
     secondary_timings = time_tier(secondary, prev_secondary, esc_env_2)
 
     total = round(sum(timings.values()), 3)

@@ -513,11 +513,24 @@ def _decompress(payload: bytes, codec: str) -> bytes:
         except CorruptHeader:
             raise
         try:
-            # Avro zstd blocks are single frames; frames written without
-            # a content-size header need the streaming reader.
             return dctx.decompress(payload)
         except Exception as exc:
-            raise CorruptBlock(f"zstandard failure: {exc}") from exc
+            # One-shot decompress() requires the frame's content-size
+            # header; frames from streaming writers (e.g. Java Avro's
+            # OutputStream path) legitimately omit it and would be
+            # misclassified as corrupt. Retry with the streaming
+            # decompressor, which needs no size header, before
+            # declaring the block damaged (ADVICE r7).
+            try:
+                dobj = dctx.decompressobj()
+                out = dobj.decompress(payload)
+                if not dobj.eof or dobj.unused_data:
+                    raise ValueError(
+                        "incomplete frame or trailing garbage"
+                    )
+                return out
+            except Exception:
+                raise CorruptBlock(f"zstandard failure: {exc}") from exc
     raise CorruptHeader(f"unsupported codec {codec!r}")
 
 

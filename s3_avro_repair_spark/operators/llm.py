@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import register
 from ..session import spread_partitions
-from ..tables import table
+from ..tables import fixture_token, table
 
 # Retrieval query panel, shared by every similarity-search op
 # (sim_knn_topk, sim_range_search, sim_ann_lsh, extras.sim_ann_ivf) and
@@ -47,11 +47,14 @@ _QSTRIDE_SQL = (
     " FROM embeddings)"
 )
 
-# stride per sf_dir, computed once per process: every retrieval op and
-# recall companion calls query_panel (sim_ann_lsh twice), and the
-# probe job — metadata-cheap but a real Spark job — used to re-run per
-# call (ADVICE r6).
-_PANEL_STRIDE: dict[str, int] = {}
+# stride per fixture IDENTITY (path + mtime token, tables.fixture_token),
+# computed once per process: every retrieval op and recall companion
+# calls query_panel (sim_ann_lsh twice), and the probe job —
+# metadata-cheap but a real Spark job — used to re-run per call
+# (ADVICE r6). Keying on the mtime token (not the bare path) means a
+# fixture regenerated in-place with a different id span rotates the
+# cache instead of serving a stale stride (ADVICE r7).
+_PANEL_STRIDE: dict[tuple[str, int], int] = {}
 
 
 def query_panel(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +68,8 @@ def query_panel(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative (1-row stride frame joined in) measurably perturbed
     broadcast-size estimates and added shuffles to every consumer.
     DuckDB mirror: ``vec_id % {_QSTRIDE_SQL} = 0``."""
-    stride = _PANEL_STRIDE.get(sf_dir)
+    token = fixture_token(sf_dir, "embeddings")
+    stride = _PANEL_STRIDE.get(token)
     if stride is None:
         max_id = (
             table(spark, sf_dir, "embeddings")
@@ -73,7 +77,7 @@ def query_panel(df: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
             .first()["m"]
         )
         stride = 100 * max(1, ((max_id or 0) + 1) // 3200)
-        _PANEL_STRIDE[sf_dir] = stride
+        _PANEL_STRIDE[token] = stride
     return df.filter((F.col("vec_id") % F.lit(stride)) == 0)
 
 

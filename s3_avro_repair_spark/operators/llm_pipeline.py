@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from ..tables import table
+from ..tables import fixture_token, table
 
 # 16-bit key-hash bucket, identical on both engines: the first 4 hex
 # chars of md5 parsed as an integer. Spark's conv() and DuckDB's
@@ -78,15 +78,19 @@ _BENCH_STRIDE_DUCK = (
     " FROM documents))"
 )
 
-_BENCH_STRIDE: dict[str, int] = {}
+# Keyed on the fixture's (path, mtime) token — not the bare sf_dir —
+# so a fixture regenerated in-place with a different id span rotates
+# the cache instead of serving a stale stride (ADVICE r7).
+_BENCH_STRIDE: dict[tuple[str, int], int] = {}
 
 
 def _bench_stride(d, sf_dir: str) -> int:
-    stride = _BENCH_STRIDE.get(sf_dir)
+    token = fixture_token(sf_dir, "documents")
+    stride = _BENCH_STRIDE.get(token)
     if stride is None:
         max_id = d.agg(F.max("doc_id").alias("m")).first()["m"]
         stride = 97 * max(1, ((max_id or 0) + 1) // 5000)
-        _BENCH_STRIDE[sf_dir] = stride
+        _BENCH_STRIDE[token] = stride
     return stride
 
 

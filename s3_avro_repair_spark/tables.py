@@ -10,6 +10,8 @@ for free (partition discovery).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,3 +55,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fixture_token(sf_dir: str, name: str) -> tuple[str, int]:
+    """(path, mtime_ns) identity of one fixture table — the cache key
+    for anything memoized per fixture (panel/bench strides). A stride
+    keyed on the PATH alone goes stale if a fixture at the same path is
+    regenerated with a different id span mid-process: Spark would keep
+    the old stride while the DuckDB oracle recomputes from data
+    (ADVICE r7). ``{name}.parquet`` may be a file or a directory of
+    parts; for a directory the newest part's mtime is the token, so
+    any rewrite rotates the key. Missing path -> token 0 (the consumer
+    will fail on read anyway)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            mt = max(
+                (e.stat().st_mtime_ns for e in os.scandir(p)),
+                default=os.stat(p).st_mtime_ns,
+            )
+        else:
+            mt = os.stat(p).st_mtime_ns
+    except OSError:
+        mt = 0
+    return (p, mt)

@@ -835,3 +835,55 @@ def test_zstandard_roundtrip_with_stub_binding(monkeypatch):
     res = salvage_ocf(inject_flip(blob))
     assert res.header_ok and res.repairable and res.n_blocks_bad == 1
     assert keyset(res.records) == keyset(RECS[BLOCK:])
+
+
+def test_zstandard_streaming_frame_fallback(monkeypatch):
+    """Valid frames WITHOUT a content-size header (streaming writers,
+    e.g. Java Avro's OutputStream path) make one-shot decompress()
+    fail; the codec must fall back to the streaming decompressor
+    instead of misclassifying the healthy block as corrupt (ADVICE
+    r7). The stub mirrors the real ``zstandard`` interface: one-shot
+    raises on size-less frames, decompressobj() carries zlib-style
+    eof / unused_data."""
+    import sys
+    import types
+    import zlib as _z
+
+    stub = types.ModuleType("zstandard")
+
+    class _C:
+        def compress(self, b):
+            # "streaming writer": no content-size header in the frame
+            return b"ZNOSZ" + _z.compress(b)
+
+    class _DObj:
+        def __init__(self):
+            self.eof = False
+            self.unused_data = b""
+
+        def decompress(self, b):
+            if b[:5] != b"ZNOSZ":
+                raise ValueError("bad frame magic")
+            out = _z.decompress(b[5:])
+            self.eof = True
+            return out
+
+    class _D:
+        def decompress(self, b):
+            raise ValueError(
+                "could not determine content size in frame header"
+            )
+
+        def decompressobj(self):
+            return _DObj()
+
+    stub.ZstdCompressor = _C
+    stub.ZstdDecompressor = _D
+    monkeypatch.setitem(sys.modules, "zstandard", stub)
+
+    blob = write_ocf_bytes(SCHEMA, RECS, codec="zstandard", block_records=BLOCK)
+    schema, back = read_ocf(blob)
+    assert back == RECS and schema == SCHEMA
+    # Damage still classifies as CorruptBlock through the fallback.
+    res = salvage_ocf(inject_flip(blob))
+    assert res.header_ok and res.repairable and res.n_blocks_bad == 1
