@@ -821,3 +821,297 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("total").alias("n_docs"),
     )
+
+
+_SUBSTR_K = 8  # shingle width (tokens); a run of m flagged starts spans m+K-1
+_SUBSTR_MIN = 16  # emit only verbatim cross-doc runs of >= this many tokens
+
+
+@register(
+    "dedup_substring",
+    group="X",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS h
+      FROM d CROSS JOIN UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1}))
+             AS u(i)
+    ),
+    multi AS (SELECT h FROM pos GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+    flag AS (SELECT p.doc_id, p.i FROM pos p JOIN multi USING (h)),
+    runs AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      FROM flag
+    )
+    SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + {_SUBSTR_K - 1} AS BIGINT) AS span_end,
+           CAST(MAX(i) + {_SUBSTR_K} - MIN(i) AS BIGINT) AS span_tokens
+    FROM runs GROUP BY doc_id, isl
+    HAVING MAX(i) + {_SUBSTR_K} - MIN(i) >= {_SUBSTR_MIN}
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup — the suffix-array
+    ("Deduplicating Training Data", ExactSubstr) modality re-expressed
+    as sorted shingle runs: emit, per document, every maximal run of
+    >= 16 consecutive tokens that appears VERBATIM in at least one
+    other document. This is the standard final dedup pass for LLM
+    corpora (templated boilerplate, quoted passages, licence blocks),
+    and the one modality document-level exact/near dedup cannot see:
+    two globally-distinct documents sharing a 200-token quotation are
+    Jaccard-dissimilar yet still leak the quotation into training.
+
+    Construction (identical on both engines, so the oracle is exact):
+    1. k=8-token shingles at every position (index-free zip_with
+       chain — an indexed lambda re-runs split() per element under
+       alias substitution, the O(tokens^2) trap), md5-digested
+       map-side: positions shuffle (doc_id, pos, 32-byte h), never
+       text.
+    2. A shingle is CROSS-DOC iff its h group spans >1 distinct doc
+       (MIN != MAX over doc_id — partial-aggregated map-side, so a
+       boilerplate shingle owned by a million docs folds to one row
+       per partition before the shuffle). The multi-doc digest set
+       joins back to positions as a plain equi-join: hot digests are
+       AQE-skew-splittable, and NO broadcast hint — the digest set is
+       Heaps-law corpus-proportional.
+    3. Gaps-and-islands per document (pos - row_number), each island
+       of m flagged starts covering m + 7 tokens; emit spans >= 16
+       tokens. The island window partitions by doc_id — bounded by
+       document length, never corpus-wide.
+
+    A run shared only WITHIN one document (internal repetition) is
+    deliberately not flagged — text_repetition owns intra-doc
+    redundancy; this op's contract is cross-document leakage."""
+    k = _SUBSTR_K
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    # 8-gram shingles, index-free: zip_with over k shifted equal-length
+    # slices (each slice is a zip_with ARGUMENT, evaluated once per
+    # row — lambdas touch only lambda vars).
+    shingle = f"slice(t, 1, greatest(size(t) - {k - 1}, 0))"
+    for j in range(2, k + 1):
+        shingle = (
+            f"zip_with({shingle},"
+            f" slice(t, {j}, greatest(size(t) - {k - 1}, 0)),"
+            " (x, y) -> concat_ws(' ', x, y))"
+        )
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.expr(shingle)).alias("p0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("i"),  # 1-based, as the oracle
+        F.md5("s").alias("h"),
+    )
+    multi = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    flagged = pos.join(multi, "h").select("doc_id", "i")
+    isl = F.col("i") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")
+    )
+    spans = (
+        flagged.withColumn("isl", isl)
+        .groupBy("doc_id", "isl")
+        .agg(F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= _SUBSTR_MIN)
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
+        (F.col("e") - F.col("s") + 1).cast("long").alias("span_tokens"),
+    )
+
+
+_AHASH_HAM = 5  # max Hamming distance (of 64 bits) to call a pair near-dup
+_AHASH_NBR = 16  # rank-neighborhood cap inside one band bucket
+
+
+@register(
+    "dedup_ahash",
+    group="X",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h
+                FROM documents WHERE text IS NOT NULL),
+    px AS (
+      SELECT doc_id, j, ascii(substr(h, 2*j+1, 1)) AS p
+      FROM hx CROSS JOIN UNNEST(generate_series(0, 63)) AS g(j)
+      WHERE 2*j+1 <= len(h)
+    ),
+    st AS (SELECT doc_id, COUNT(*) AS m, SUM(p) AS s FROM px GROUP BY doc_id),
+    bands AS (
+      SELECT px.doc_id, j // 16 AS band_no,
+             CAST(SUM(CASE WHEN p * m > s THEN 1 << (j % 16) ELSE 0 END)
+                  AS BIGINT) AS band_val
+      FROM px JOIN st USING (doc_id) GROUP BY px.doc_id, j // 16
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN band_no=0 THEN band_val END),0) AS BIGINT) AS b0,
+        CAST(COALESCE(SUM(CASE WHEN band_no=1 THEN band_val END),0) AS BIGINT) AS b1,
+        CAST(COALESCE(SUM(CASE WHEN band_no=2 THEN band_val END),0) AS BIGINT) AS b2,
+        CAST(COALESCE(SUM(CASE WHEN band_no=3 THEN band_val END),0) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    stacked AS (
+      SELECT doc_id, b0, b1, b2, b3, band_no,
+             CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+                          WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) AS g(band_no)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, bv
+                                   ORDER BY doc_id) AS rn
+      FROM stacked
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming
+    FROM ranked a JOIN ranked b
+      ON a.band_no = b.band_no AND a.bv = b.bv
+     AND b.rn - a.rn >= 1 AND b.rn - a.rn <= {_AHASH_NBR}
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {_AHASH_HAM}
+    """,
+)
+def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (aHash): the multimodal analog of
+    dedup_exact — near-identical IMAGES (re-encodes, thumbnails, minor
+    edits) produce nearly-equal average-hash signatures, caught by
+    banded Hamming pairing. The classic aHash recipe: downsample to a
+    fixed pixel grid, threshold each pixel against the image mean, and
+    compare 64-bit signatures by Hamming distance.
+
+    The fixture ships no real media, so the "image" is the family's
+    stand-in blob — the HEX rendition of the text bytes (pure ASCII,
+    so byte offsets equal char offsets on ANY corpus; see
+    mm_frame_sample) — and the "pixel grid" is mm_resize's stride-2
+    64-byte thumbnail of the first 128 blob bytes. Unlike
+    dedup_simhash (Python sketch, rows-only), every step here is
+    integer arithmetic both engines express, so the op is EXACTLY
+    oracled: pixel*count > sum thresholds the mean without division
+    (the scale-invariant-compare pattern), band values are 16-bit
+    integer sums, Hamming is bit_count over XOR. A production decoder
+    swaps the hex stand-in for real grayscale bytes; nothing else
+    moves.
+
+    Scale shape: signatures are 4 small ints per doc (one groupBy over
+    64 pixel rows per doc — linear, map-side partial); pairing is the
+    dedup_near rank-neighborhood pattern — band value IN the equi-join
+    key, rank-bucket (rn DIV 16) two-sided explode so a mass-duplicate
+    pile chains transitively at O(16H) joined rows per bucket instead
+    of H^2; ranks here are doc_id-ordered (not per-band-hashed like
+    dedup_near) because the oracle must reproduce them exactly —
+    4 independent bands still give a >16-apart pair 4 draws.
+    Threshold: hamming <= 5 of 64 — the sf fixtures separate planted
+    near-dups (0-5) from the word-soup background (>= 6) cleanly."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("h"))
+    )
+    px = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+            "h",
+        )
+        .filter(F.expr("2*j+1 <= length(h)"))
+        .select(
+            "doc_id",
+            "j",
+            F.expr("ascii(substr(h, 2*j+1, 1))").alias("p"),
+        )
+    )
+    st = px.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("p").alias("s")
+    )
+    bands = (
+        px.join(st, "doc_id")
+        .groupBy("doc_id", F.expr("j DIV 16").alias("band_no"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN p * m > s"
+                    " THEN shiftleft(1, j % 16) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("band_val")
+        )
+    )
+    one = lambda i: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("band_no") == i, F.col("band_val"))), F.lit(0)
+    ).cast("long")
+    sig = bands.groupBy("doc_id").agg(
+        one(0).alias("b0"), one(1).alias("b1"),
+        one(2).alias("b2"), one(3).alias("b3"),
+    )
+    stacked = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_no"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1"
+            " WHEN 2 THEN b2 ELSE b3 END"
+        ),
+    )
+    ranked = stacked.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band_no", "bv").orderBy("doc_id")
+        ),
+    )
+    nbr = _AHASH_NBR
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+        "band_no", "bv", F.col("rn").alias("rn_a"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.expr(f"rn_a DIV {nbr}"), F.expr(f"rn_a DIV {nbr} + 1"))
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+        F.col("band_no").alias("band_b"), F.col("bv").alias("bv_b"),
+        F.col("rn").alias("rn_b"),
+    ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_no") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= nbr),
+        )
+        .select(
+            "id_a", "id_b", ham.cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= _AHASH_HAM)
+        .distinct()
+    )

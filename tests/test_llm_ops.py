@@ -543,3 +543,81 @@ def test_hot_bucket_pile_chains(spark, tmp_path_factory):
     sim = _OPS["dedup_simhash"].fn(spark, sf).toPandas()
     assert not sim.truncated.any()
     assert (sim.n_docs <= 1024).all()
+
+
+def test_dedup_substring_planted_overlap(spark, tmp_path_factory):
+    """dedup_substring must emit EXACTLY the planted verbatim run: two
+    otherwise-distinct docs share a 20-token passage (>= the 16-token
+    floor), two others share only an 8-token run (one shingle — below
+    the floor), and a fifth doc is fully unique. Token positions are
+    1-based; a run of 20 tokens = 13 consecutive flagged 8-shingle
+    starts."""
+    tmp = tmp_path_factory.mktemp("substrprop")
+    shared = [f"quote_{j}" for j in range(20)]
+    short = [f"lic_{j}" for j in range(8)]
+    docA = [f"a_{j}" for j in range(10)] + shared + [f"a2_{j}" for j in range(12)]
+    docB = [f"b_{j}" for j in range(5)] + shared + [f"b2_{j}" for j in range(7)]
+    docC = [f"c_{j}" for j in range(9)] + short + [f"c2_{j}" for j in range(9)]
+    docD = [f"d_{j}" for j in range(6)] + short + [f"d2_{j}" for j in range(11)]
+    docE = [f"e_{j}" for j in range(40)]
+    sf = _write_docs(
+        tmp,
+        [
+            (1, " ".join(docA)),
+            (2, " ".join(docB)),
+            (3, " ".join(docC)),
+            (4, " ".join(docD)),
+            (5, " ".join(docE)),
+        ],
+    )
+    out = _OPS["dedup_substring"].fn(spark, sf).toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in out.itertuples()
+    }
+    # docA's shared run starts at token 11 (1-based), docB's at 6.
+    assert got == {(1, 11, 30, 20), (2, 6, 25, 20)}, got
+
+
+def test_dedup_substring_internal_repeat_not_flagged(spark, tmp_path_factory):
+    """A long run repeated WITHIN one document only (internal
+    boilerplate) is not cross-document leakage and must not be
+    emitted — text_repetition owns intra-doc redundancy."""
+    tmp = tmp_path_factory.mktemp("substrintra")
+    rep = [f"intra_{j}" for j in range(20)]
+    doc = rep + [f"gap_{j}" for j in range(10)] + rep
+    sf = _write_docs(
+        tmp,
+        [(1, " ".join(doc)), (2, " ".join(f"z_{j}" for j in range(40)))],
+    )
+    out = _OPS["dedup_substring"].fn(spark, sf).toPandas()
+    assert len(out) == 0, out
+
+
+def test_dedup_ahash_planted_near_identical(spark, tmp_path_factory):
+    """Perceptual-hash dedup recall on planted near-identical
+    "images": 6 pairs differing by ONE byte inside the 64-byte pixel
+    window among 30 unrelated docs. The construction is deterministic
+    (integer aHash, no RNG), so the exact outcome is stable: at least
+    5 of 6 planted pairs surface at hamming <= 5, and NO unrelated
+    pair does (zero false positives on this corpus)."""
+    import random
+
+    tmp = tmp_path_factory.mktemp("ahashprop")
+    rnd = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    rows, planted = [], set()
+    for i in range(6):
+        base = "".join(rnd.choice(alpha) for _ in range(120))
+        near = base[:30] + ("Q" if base[30] != "Q" else "R") + base[31:]
+        rows.append((100 + 2 * i, base))
+        rows.append((101 + 2 * i, near))
+        planted.add((100 + 2 * i, 101 + 2 * i))
+    for i in range(30):
+        rows.append((500 + i, "".join(rnd.choice(alpha) for _ in range(120))))
+    sf = _write_docs(tmp, rows)
+    out = _OPS["dedup_ahash"].fn(spark, sf).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert len(planted & pairs) >= 5, sorted(planted - pairs)
+    assert pairs <= planted, sorted(pairs - planted)[:10]
+    assert (out.hamming <= 5).all()
