@@ -732,6 +732,31 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     assert joined("embedding_centroid_distance") <= 2 * n_vec * max_dim
     assert joined("ts_anomaly_mad") <= 3 * n_events
 
+    # The df<=16 candidate family (r7 VERDICT item 4 — the law the
+    # r7 census anomaly lacked: dedup_containment read 349.9x joined
+    # on the 10x fixture but 1.2x on the 100x one because the two
+    # scaled fixtures carry different DUPLICATION profiles; the bound
+    # below is the profile-independent law):
+    # - candidate join: every rare-shingle instance (per-block
+    #   df <= 16) meets <= 15 partners -> <= 16 x shingle instances
+    #   <= 16 x n_tokens.
+    # - two shingle-array attach joins: one row per distinct
+    #   candidate pair each, pairs <= the candidate join's output.
+    # Total <= 3 x 16 x n_tokens for BOTH consumers of the shared
+    # generator. A regression that drops the df cap (or the
+    # lang/source block from the join key) blows this by orders of
+    # magnitude on any corpus with duplication.
+    assert joined("dedup_ngram_jaccard") <= 3 * 16 * n_tokens
+    assert joined("dedup_containment") <= 3 * 16 * n_tokens
+
+    # r8 dedup modalities:
+    # - dedup_substring: the only join attaches the multi-doc digest
+    #   set to positions — <= one row per shingle position.
+    # - dedup_ahash: pixel-stats attach <= 64 rows/doc; banded pair
+    #   join <= 4 bands x 16 rank-nbrs x 2 bucket-copies per doc.
+    assert joined("dedup_substring") <= 2 * n_tokens
+    assert joined("dedup_ahash") <= (64 + 4 * 16 * 2) * n_docs
+
 
 def test_no_broadcast_hints_on_sf_scaling_tables():
     """The r6 posture debt, pinned: `F.broadcast()` in the Q-group
