@@ -676,12 +676,169 @@ def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, pos
 
 
+_DECODER_CACHE: dict[str, object] = {}
+
+
+def compile_decoder(schema):
+    """Source-codegen a decoder specialized to ``schema`` (the fastavro
+    approach): one generated function decodes a whole top-level value
+    with varints, strings, and scalars INLINED — no per-value schema
+    dispatch, no per-field Python call. The r8 profile put 94% of
+    snappy-scan time in :func:`decode_value`'s recursive dispatch
+    (the decompress+CRC path the round set out to optimize measured
+    ~1%), and every block of every file re-pays it; the generated
+    decoder is the same state machine flattened.
+
+    Semantics are IDENTICAL to decode_value by construction: the
+    generated code raises the same :class:`CorruptBlock` messages from
+    the same conditions (the corruption-injection suite pins them),
+    and subtypes the generator does not inline (arrays, maps, enums,
+    fixed) fall back to decode_value itself; nested records compile
+    recursively. Cached per schema JSON — one codegen per schema per
+    worker process, microseconds against millions of avoided calls."""
+    key = json.dumps(schema, sort_keys=True)
+    fn = _DECODER_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    ns: dict[str, object] = {
+        "unpack_from": struct.unpack_from,
+        "CorruptBlock": CorruptBlock,
+        "decode_value": decode_value,
+    }
+    lines: list[str] = ["def _decoder(buf, pos):", "    blen = len(buf)"]
+    n_fallbacks = [0]
+
+    def varint(ind: str, out: str) -> None:
+        lines.extend(
+            [
+                f"{ind}acc = 0",
+                f"{ind}shift = 0",
+                f"{ind}while True:",
+                f"{ind}    if pos >= blen:",
+                f"{ind}        raise CorruptBlock("
+                "'varint runs past end of buffer')",
+                f"{ind}    if shift > 63:",
+                f"{ind}        raise CorruptBlock("
+                "'varint longer than 64 bits')",
+                f"{ind}    b = buf[pos]",
+                f"{ind}    pos += 1",
+                f"{ind}    acc |= (b & 0x7F) << shift",
+                f"{ind}    if not (b & 0x80):",
+                f"{ind}        break",
+                f"{ind}    shift += 7",
+                f"{ind}{out} = (acc >> 1) ^ -(acc & 1)",
+            ]
+        )
+
+    def emit(s, ind: str, out: str) -> None:
+        t = _schema_type(s)
+        if t == "null":
+            lines.append(f"{ind}{out} = None")
+        elif t == "boolean":
+            lines.extend(
+                [
+                    f"{ind}if pos >= blen:",
+                    f"{ind}    raise CorruptBlock('boolean past end')",
+                    f"{ind}b = buf[pos]",
+                    f"{ind}if b > 1:",
+                    f"{ind}    raise CorruptBlock("
+                    "'invalid boolean byte %d' % b)",
+                    f"{ind}{out} = b == 1",
+                    f"{ind}pos += 1",
+                ]
+            )
+        elif t in ("int", "long"):
+            varint(ind, out)
+        elif t == "float":
+            lines.extend(
+                [
+                    f"{ind}if pos + 4 > blen:",
+                    f"{ind}    raise CorruptBlock('float past end')",
+                    f"{ind}{out} = unpack_from('<f', buf, pos)[0]",
+                    f"{ind}pos += 4",
+                ]
+            )
+        elif t == "double":
+            lines.extend(
+                [
+                    f"{ind}if pos + 8 > blen:",
+                    f"{ind}    raise CorruptBlock('double past end')",
+                    f"{ind}{out} = unpack_from('<d', buf, pos)[0]",
+                    f"{ind}pos += 8",
+                ]
+            )
+        elif t in ("bytes", "string"):
+            varint(ind, "size_")
+            lines.extend(
+                [
+                    f"{ind}if size_ < 0 or pos + size_ > blen:",
+                    f"{ind}    raise CorruptBlock("
+                    "'sized value of %d bytes exceeds buffer' % size_)",
+                    f"{ind}raw_ = buf[pos:pos + size_]",
+                    f"{ind}pos += size_",
+                ]
+            )
+            if t == "bytes":
+                lines.append(f"{ind}{out} = raw_")
+            else:
+                lines.extend(
+                    [
+                        f"{ind}try:",
+                        f"{ind}    {out} = raw_.decode('utf-8')",
+                        f"{ind}except UnicodeDecodeError as exc:",
+                        f"{ind}    raise CorruptBlock("
+                        "'invalid utf-8 string: %s' % exc) from exc",
+                    ]
+                )
+        elif t == "union":
+            varint(ind, "idx_")
+            lines.extend(
+                [
+                    f"{ind}if not 0 <= idx_ < {len(s)}:",
+                    f"{ind}    raise CorruptBlock("
+                    "'union index %d out of range' % idx_)",
+                ]
+            )
+            for i, branch in enumerate(s):
+                lines.append(f"{ind}{'if' if i == 0 else 'elif'} idx_ == {i}:")
+                emit(branch, ind + "    ", out)
+        elif t == "record":
+            sub = f"_rec{n_fallbacks[0]}"
+            n_fallbacks[0] += 1
+            ns[sub] = compile_decoder(s)
+            lines.append(f"{ind}{out}, pos = {sub}(buf, pos)")
+        else:  # array / map / enum / fixed: rare in row data — delegate
+            sub = f"_sch{n_fallbacks[0]}"
+            n_fallbacks[0] += 1
+            ns[sub] = s
+            lines.append(f"{ind}{out}, pos = decode_value({sub}, buf, pos)")
+
+    if _schema_type(schema) == "record":
+        pairs = []
+        for i, f in enumerate(schema["fields"]):
+            emit(f["type"], "    ", f"v{i}")
+            pairs.append(f"{f['name']!r}: v{i}")
+        lines.append(f"    return {{{', '.join(pairs)}}}, pos")
+    else:
+        emit(schema, "    ", "v0")
+        lines.append("    return v0, pos")
+
+    exec("\n".join(lines), ns)  # noqa: S102 — self-generated source only
+    fn = ns["_decoder"]
+    if len(_DECODER_CACHE) > 64:  # bounded: schemas are few per fleet
+        _DECODER_CACHE.clear()
+    _DECODER_CACHE[key] = fn
+    return fn
+
+
 def _decode_block(payload: bytes, schema, count: int) -> list:
     """Strict: exactly `count` records consuming exactly the payload."""
     recs = []
     pos = 0
+    dec = compile_decoder(schema)
     for _ in range(count):
-        rec, pos = decode_value(schema, payload, pos)
+        rec, pos = dec(payload, pos)
         recs.append(rec)
     if pos != len(payload):
         raise CorruptBlock(f"{len(payload) - pos} trailing bytes in block")
