@@ -81,6 +81,9 @@ SECONDARY = [
     "udtf_apply_in_pandas",   # per-group pandas boundary — costliest op at 100x
     "sim_ann_ivf",            # KMeans cells + nprobe=3 multi-probe
     "dedup_near_recall",      # 3 composed pipelines over one shingle checkpoint
+    # r8 dedup modalities; first recorded r8, guard comparisons start r9:
+    "dedup_substring",        # cross-doc shingle runs (digest join + islands)
+    "dedup_ahash",            # perceptual aHash banded Hamming pairing
 ]
 
 
