@@ -84,6 +84,7 @@ SECONDARY = [
     # r8 dedup modalities; first recorded r8, guard comparisons start r9:
     "dedup_substring",        # cross-doc shingle runs (digest join + islands)
     "dedup_ahash",            # perceptual aHash banded Hamming pairing
+    "dedup_substring_apply",  # span removal: anti-join + ordered rebuild
 ]
 
 

@@ -1115,3 +1115,137 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AHASH_HAM)
         .distinct()
     )
+
+
+@register(
+    "dedup_substring_apply",
+    group="X",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    pos AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS h
+      FROM d CROSS JOIN UNNEST(generate_series(1, len(t) - {_SUBSTR_K - 1}))
+             AS u(i)
+    ),
+    multi AS (SELECT h FROM pos GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+    flag AS (SELECT p.doc_id, p.i FROM pos p JOIN multi USING (h)),
+    runs AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      FROM flag
+    ),
+    spans AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + {_SUBSTR_K - 1} AS e
+      FROM runs GROUP BY doc_id, isl
+      HAVING MAX(i) + {_SUBSTR_K} - MIN(i) >= {_SUBSTR_MIN}
+    ),
+    cov AS (SELECT doc_id, u.p
+            FROM spans CROSS JOIN UNNEST(generate_series(s, e)) AS u(p)),
+    toks AS (SELECT doc_id, u.i AS i, t[u.i] AS tok
+             FROM d CROSS JOIN UNNEST(generate_series(1, len(t))) AS u(i)),
+    kept AS (
+      SELECT toks.doc_id, toks.i, toks.tok
+      FROM toks ANTI JOIN cov
+        ON toks.doc_id = cov.doc_id AND toks.i = cov.p
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(d.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+    FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL pass over dedup_substring's spans — what an
+    ExactSubstr pipeline actually ships: every token covered by a
+    cross-document verbatim run >= 16 tokens is cut from EVERY copy
+    ("Deduplicating Training Data" removes all occurrences; the
+    content survives elsewhere in the corpus by construction), and the
+    document is re-emitted with its clean text plus kept/removed
+    accounting. A fully-duplicated document comes back as an empty
+    string with n_kept = 0 — the downstream length gate
+    (corpus_filter_report's rules) then drops it.
+
+    Construction: the span pipeline is dedup_substring's verbatim (one
+    digest shuffle, islands per doc); the removal is position-level —
+    explode spans to covered positions (islands are disjoint, so this
+    is <= one row per token), posexplode tokens (a generator, NOT an
+    indexed lambda — an index-free guarantee no alias substitution can
+    break), LEFT ANTI join on (doc_id, position), and an ordered
+    reconstruction via sort_array(collect_list(struct(pos, token))).
+    Everything shuffles by doc_id — linear, skew-bounded by document
+    length."""
+    k = _SUBSTR_K
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    shingle = f"slice(t, 1, greatest(size(t) - {k - 1}, 0))"
+    for j in range(2, k + 1):
+        shingle = (
+            f"zip_with({shingle},"
+            f" slice(t, {j}, greatest(size(t) - {k - 1}, 0)),"
+            " (x, y) -> concat_ws(' ', x, y))"
+        )
+    pos = d.select(
+        "doc_id", F.posexplode(F.expr(shingle)).alias("p0", "s")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("long").alias("i"),
+        F.md5("s").alias("h"),
+    )
+    multi = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    flagged = pos.join(multi, "h").select("doc_id", "i")
+    isl = F.col("i") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("i")
+    )
+    spans = (
+        flagged.withColumn("isl", isl)
+        .groupBy("doc_id", "isl")
+        .agg(F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= _SUBSTR_MIN)
+    )
+    cov = spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.col("t")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "tok")
+    kept = toks.join(
+        cov,
+        (toks["doc_id"] == cov["doc_id"]) & (toks["i"] == cov["p"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sort_array(collect_list(struct(i, tok))),"
+                " x -> x.tok)"
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = d.select("doc_id", F.size("t").cast("long").alias("n_tok"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

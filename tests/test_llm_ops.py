@@ -621,3 +621,42 @@ def test_dedup_ahash_planted_near_identical(spark, tmp_path_factory):
     assert len(planted & pairs) >= 5, sorted(planted - pairs)
     assert pairs <= planted, sorted(pairs - planted)[:10]
     assert (out.hamming <= 5).all()
+
+
+def test_dedup_substring_apply_cuts_exactly_the_spans(spark, tmp_path_factory):
+    """The removal pass must cut the planted 20-token run from BOTH
+    sharing docs (all occurrences — the ExactSubstr convention), keep
+    every other token in order, and return a fully-duplicated doc as
+    an empty string with n_kept = 0."""
+    tmp = tmp_path_factory.mktemp("substrapply")
+    shared = [f"quote_{j}" for j in range(20)]
+    a_pre = [f"a_{j}" for j in range(10)]
+    a_post = [f"a2_{j}" for j in range(12)]
+    b_pre = [f"b_{j}" for j in range(5)]
+    b_post = [f"b2_{j}" for j in range(7)]
+    dup = [f"dup_{j}" for j in range(25)]
+    sf = _write_docs(
+        tmp,
+        [
+            (1, " ".join(a_pre + shared + a_post)),
+            (2, " ".join(b_pre + shared + b_post)),
+            (3, " ".join(dup)),
+            (4, " ".join(dup)),
+            (5, " ".join(f"e_{j}" for j in range(40))),
+        ],
+    )
+    out = (
+        _OPS["dedup_substring_apply"].fn(spark, sf).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    assert out.loc[1, "clean_text"] == " ".join(a_pre + a_post)
+    assert out.loc[2, "clean_text"] == " ".join(b_pre + b_post)
+    assert (out.loc[1, "n_kept"], out.loc[1, "n_removed"]) == (22, 20)
+    assert (out.loc[2, "n_kept"], out.loc[2, "n_removed"]) == (12, 20)
+    # full duplicates: everything removed, row survives for accounting
+    for d in (3, 4):
+        assert out.loc[d, "clean_text"] == ""
+        assert (out.loc[d, "n_kept"], out.loc[d, "n_removed"]) == (0, 25)
+    # untouched doc round-trips byte-exactly
+    assert out.loc[5, "clean_text"] == " ".join(f"e_{j}" for j in range(40))
+    assert out.loc[5, "n_removed"] == 0

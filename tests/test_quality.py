@@ -756,6 +756,10 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     #   join <= 4 bands x 16 rank-nbrs x 2 bucket-copies per doc.
     assert joined("dedup_substring") <= 2 * n_tokens
     assert joined("dedup_ahash") <= (64 + 4 * 16 * 2) * n_docs
+    # - dedup_substring_apply: the span pipeline's digest join (<= one
+    #   row per position) + the anti join (<= one KEPT row per token)
+    #   + the per-doc accounting join (<= n_docs).
+    assert joined("dedup_substring_apply") <= 3 * n_tokens
 
 
 def test_no_broadcast_hints_on_sf_scaling_tables():
