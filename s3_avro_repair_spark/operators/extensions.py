@@ -1179,7 +1179,7 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     is <= one row per token), posexplode tokens (a generator, NOT an
     indexed lambda — an index-free guarantee no alias substitution can
     break), LEFT ANTI join on (doc_id, position), and an ordered
-    reconstruction via sort_array(collect_list(struct(pos, token))).
+    reconstruction via a struct-sorted per-document token list.
     Everything shuffles by doc_id — linear, skew-bounded by document
     length."""
     k = _SUBSTR_K

@@ -33,6 +33,7 @@ BOUNDED_COLLECT_SITES = {
     "operators/text_quality.py": (1, "rank<=1024 bucket members (dedup_simhash)"),
     "operators/graph.py": (1, "k=4 centroids (kmeans_quantized)"),
     "operators/composite.py": (1, "per-document segment list (q_corpus_pipeline)"),
+    "operators/extensions.py": (1, "per-document kept-token list (dedup_substring_apply)"),
 }
 
 EXACT_PERCENTILE = re.compile(
