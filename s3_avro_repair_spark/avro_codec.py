@@ -1095,6 +1095,82 @@ def decode_resolved(writer, reader, buf: bytes, pos: int):
     raise SchemaResolutionError(f"cannot read writer {wt} as reader {rt}")
 
 
+def compile_resolved_decoder(writer, reader):
+    """Precompile the schema-resolution plan :func:`decode_resolved`
+    re-derives PER RECORD (field-name dict builds, linear reader-field
+    scans, per-value type dispatch) into a closure tree built once per
+    (writer, reader) pair. Record plans pair each writer field with
+    either a compiled resolved decoder (kept field), a compiled
+    writer-schema decoder whose value is discarded (skipped field — the
+    projected-scan fast path), or a lazily-raising default slot;
+    identity/promotion leaves reuse :func:`compile_decoder`'s generated
+    code. Shapes the compiler does not plan (unions, arrays, maps,
+    enums, fixed) fall back to decode_resolved itself — identical
+    semantics, just not precompiled. Resolution errors stay LAZY (the
+    missing-default raise fires per record, exactly like the
+    interpreter) so a zero-record file still reads clean."""
+    wt, rt = _schema_type(writer), _schema_type(reader)
+    if wt == "record" and rt == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        wnames = {f["name"] for f in writer["fields"]}
+        steps = []
+        for wf in writer["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:  # skipped: decode with the writer schema, discard
+                steps.append((None, compile_decoder(wf["type"])))
+            else:
+                steps.append(
+                    (wf["name"], compile_resolved_decoder(wf["type"], rf["type"]))
+                )
+        defaults = []
+        for rf in reader["fields"]:
+            if rf["name"] not in wnames:
+                defaults.append(
+                    (rf["name"], rf.get("default"), "default" in rf)
+                )
+
+        def d_rec(buf, pos):
+            rec = {}
+            for name, fd in steps:
+                v, pos = fd(buf, pos)
+                if name is not None:
+                    rec[name] = v
+            for name, dv, has in defaults:
+                if not has:
+                    raise SchemaResolutionError(
+                        f"reader field {name} missing and has no default"
+                    )
+                rec[name] = dv
+            return rec, pos
+
+        return d_rec
+    if wt not in ("union", "array", "map", "enum", "fixed", "record") and (
+        wt == rt or rt in _PROMOTIONS.get(wt, ())
+    ):
+        base = compile_decoder(writer)
+        if rt in ("float", "double") and wt in ("int", "long"):
+            conv = float
+        elif rt == "long" and wt == "int":
+            conv = int
+        elif rt == "string" and wt == "bytes":
+            conv = lambda b: b.decode("utf-8")  # noqa: E731
+        elif rt == "bytes" and wt == "string":
+            conv = lambda s: s.encode("utf-8")  # noqa: E731
+        else:
+            return base  # identity leaf: the codegen decoder as-is
+
+        def d_conv(buf, pos):
+            v, pos = base(buf, pos)
+            return conv(v), pos
+
+        return d_conv
+
+    def d_fallback(buf, pos):
+        return decode_resolved(writer, reader, buf, pos)
+
+    return d_fallback
+
+
 def read_ocf_resolved(data: bytes, reader_schema, logical: bool = False) -> list:
     """Strict full read applying a reader schema (schema evolution).
     ``logical=True`` additionally materializes the READER schema's
@@ -1103,6 +1179,7 @@ def read_ocf_resolved(data: bytes, reader_schema, logical: bool = False) -> list
     default, or re-reads a raw-bytes writer column under a decimal
     annotation)."""
     writer, codec, sync, pos = read_header(data)
+    resolved = compile_resolved_decoder(writer, reader_schema)
     records = []
     n = len(data)
     while pos < n:
@@ -1115,7 +1192,7 @@ def read_ocf_resolved(data: bytes, reader_schema, logical: bool = False) -> list
         payload = _decompress(data[p : p + size], codec)
         bpos = 0
         for _ in range(count):
-            rec, bpos = decode_resolved(writer, reader_schema, payload, bpos)
+            rec, bpos = resolved(payload, bpos)
             records.append(rec)
         if bpos != len(payload):
             raise CorruptBlock("trailing bytes in block")
