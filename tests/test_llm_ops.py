@@ -660,3 +660,54 @@ def test_dedup_substring_apply_cuts_exactly_the_spans(spark, tmp_path_factory):
     # untouched doc round-trips byte-exactly
     assert out.loc[5, "clean_text"] == " ".join(f"e_{j}" for j in range(40))
     assert out.loc[5, "n_removed"] == 0
+
+
+def test_dedup_ahash_pile_chains(spark, tmp_path_factory):
+    """The rank-cap tail-pin for the aHash pair-emitter (the dedup_near
+    pile law applied to the r8 op): 100 IDENTICAL "images" — far past
+    the rn-DIV-16 neighborhood — must come out transitively connected
+    within bounded join fanout, because identical signatures share
+    every band bucket and the <=16-rank-apart pairs form a path over
+    the pile. Hamming is 0 on every reported pair, and no background
+    doc joins the pile."""
+    import random
+
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("ahashpile")
+    rnd = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    img = "".join(rnd.choice(alpha) for _ in range(120))
+    pile_ids = list(range(3000, 3100))
+    rows = [(did, img) for did in pile_ids]
+    for i in range(20):
+        rows.append((5000 + i, "".join(rnd.choice(alpha) for _ in range(120))))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_ahash"].fn(spark, sf).toPandas()
+    members = set(pile_ids)
+    pile_pairs = [
+        (int(r.id_a), int(r.id_b))
+        for r in out.itertuples()
+        if int(r.id_a) in members or int(r.id_b) in members
+    ]
+    # no background doc pairs with the pile
+    assert all(a in members and b in members for a, b in pile_pairs)
+    assert all(r.hamming == 0 for r in out.itertuples()
+               if int(r.id_a) in members)
+    # transitive connectivity over the whole pile (union-find)
+    parent = {d: d for d in pile_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pile_pairs:
+        parent[find(a)] = find(b)
+    assert len({find(d) for d in pile_ids}) == 1
+    # bounded fanout: the cap keeps reported pairs O(16 * pile), never
+    # the full C(100,2) = 4950
+    assert len(pile_pairs) <= 16 * len(pile_ids) * 4  # 4 bands
+    assert len(pile_pairs) < 4950, len(pile_pairs)
