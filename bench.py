@@ -209,10 +209,17 @@ def main() -> int:
     # normalized guard never reports (r6 ADVICE).
     esc_env_2 = esc_env
     if prev_headline and not only:
-        factor, _basis = env_drift_factor(
-            timings, prev_headline, calib, _prev_calib
-        )
-        esc_env_2 = max(esc_env, factor)
+        # Escalation is best-effort: a failure here must degrade to the
+        # unescalated bound, never abort the run (the one-JSON-line
+        # stdout contract) — env_drift_factor is total today, but this
+        # call sits before any output is emitted (ADVICE r8).
+        try:
+            factor, _basis = env_drift_factor(
+                timings, prev_headline, calib, _prev_calib
+            )
+            esc_env_2 = max(esc_env, factor)
+        except Exception:
+            pass
     secondary_timings = time_tier(secondary, prev_secondary, esc_env_2)
 
     total = round(sum(timings.values()), 3)

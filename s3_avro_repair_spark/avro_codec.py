@@ -826,8 +826,13 @@ def compile_decoder(schema):
 
     exec("\n".join(lines), ns)  # noqa: S102 — self-generated source only
     fn = ns["_decoder"]
-    if len(_DECODER_CACHE) > 64:  # bounded: schemas are few per fleet
-        _DECODER_CACHE.clear()
+    # Bounded FIFO: evict the OLDEST entry (dict preserves insertion
+    # order), never clear() — a fleet cycling through >64 schemas would
+    # otherwise recompile every decoder per rotation, and a clear()
+    # fired by a nested-record compile mid-recursion would evict the
+    # sub-decoders the outer codegen just bound (ADVICE r8).
+    while len(_DECODER_CACHE) > 64:
+        _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
     _DECODER_CACHE[key] = fn
     return fn
 

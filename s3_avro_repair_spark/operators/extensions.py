@@ -1013,8 +1013,13 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, rank-bucket (rn DIV 16) two-sided explode so a mass-duplicate
     pile chains transitively at O(16H) joined rows per bucket instead
     of H^2; ranks here are doc_id-ordered (not per-band-hashed like
-    dedup_near) because the oracle must reproduce them exactly —
-    4 independent bands still give a >16-apart pair 4 draws.
+    dedup_near) because the oracle must reproduce them exactly. The
+    cost of that determinism: for an identical-signature pile, bucket
+    membership and rank order are the SAME in all 4 bands, so the 4
+    draws are fully correlated — a >16-ranks-apart pile pair is found
+    only by transitive chaining through its rank neighbors (which the
+    pile law test pins). The bands act as independent draws only when
+    their bucket values differ, i.e. for hamming 1-5 near-dup pairs.
     Threshold: hamming <= 5 of 64 — the sf fixtures separate planted
     near-dups (0-5) from the word-soup background (>= 6) cleanly."""
     d = (

@@ -64,16 +64,22 @@ def fixture_token(sf_dir: str, name: str) -> tuple[str, int]:
     regenerated with a different id span mid-process: Spark would keep
     the old stride while the DuckDB oracle recomputes from data
     (ADVICE r7). ``{name}.parquet`` may be a file or a directory of
-    parts; for a directory the newest part's mtime is the token, so
-    any rewrite rotates the key. Missing path -> token 0 (the consumer
-    will fail on read anyway)."""
+    parts; for a directory the newest mtime across the WHOLE tree is
+    the token (os.walk, not a top-level scandir: a partitioned layout
+    rewritten in place only touches files inside existing part_col=X/
+    subdirectories, which does not move top-level entry mtimes —
+    ADVICE r8), so any rewrite rotates the key. Missing path ->
+    token 0 (the consumer will fail on read anyway)."""
     p = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(p):
-            mt = max(
-                (e.stat().st_mtime_ns for e in os.scandir(p)),
-                default=os.stat(p).st_mtime_ns,
-            )
+            mt = os.stat(p).st_mtime_ns
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        mt = max(mt, os.stat(os.path.join(root, f)).st_mtime_ns)
+                    except OSError:
+                        continue
         else:
             mt = os.stat(p).st_mtime_ns
     except OSError:
