@@ -1,0 +1,454 @@
+"""X group (round 9) — corpus-curation operators.
+
+Three operators a 100 TB training-data pipeline runs between raw crawl
+and tokenizer: interpolated bigram-LM quality scoring (the KenLM-style
+filter one step beyond text_perplexity_unigram), temperature-scaled
+mixture resampling (the mT5/CC multilingual balancing pass), and
+DCT-based perceptual image dedup (pHash — the brightness-invariant
+upgrade of dedup_ahash). Every op is a declarative DataFrame plan
+(zero Python in the row path) with an exact DuckDB oracle.
+
+Registered LAST in plans/registry._OP_MODULES: new keys are
+never-attested and must sort behind every key still waiting for (or
+floated back into) the attestation window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# text_perplexity_bigram
+
+
+@register(
+    "text_perplexity_bigram",
+    group="X",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uc),
+    big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM d CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) u(i)),
+    bgc AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+            FROM big GROUP BY doc_id, w1, w2),
+    bc AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS cb
+           FROM bgc GROUP BY w1, w2)
+    SELECT bgc.doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(k * -LN(0.75 * cb / CAST(up.c AS DOUBLE)
+                             + 0.25 * uw.c / CAST(n.total AS DOUBLE)))
+                 / SUM(k), 4) + 0 AS xent
+    FROM bgc
+    JOIN bc ON bc.w1 = bgc.w1 AND bc.w2 = bgc.w2
+    JOIN uc up ON up.w = bgc.w1
+    JOIN uc uw ON uw.w = bgc.w2, n
+    GROUP BY bgc.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy per document — the
+    KenLM-shaped quality score one order above text_perplexity_unigram:
+    p(w2 | w1) = 0.75 * c(w1 w2)/c(w1) + 0.25 * c(w2)/N
+    (Jelinek-Mercer mixing; the unigram term makes every probability
+    positive, so no discounting bookkeeping is needed while the bigram
+    term still separates fluent text from shuffled-word soup the
+    unigram score cannot see). Documents need >= 2 tokens to score.
+
+    Scale shape: ONE tokenize feeds everything. Bigram occurrences
+    collapse to per-document (w1, w2, k) counts BEFORE any join (a doc
+    repeating a bigram pays one join row), the global bigram relation
+    is an aggregate OF that relation (no second corpus pass), and the
+    per-doc relation is checkpointed so its three count joins —
+    bigram, left-word, right-word — don't re-run the tokenize per
+    branch (the r6 materialization-barrier pattern). All three joins
+    key on vocabulary tokens — Heaps-law growth, so none is broadcast-
+    hinted (the r7 audit rule); the 1-row corpus total is. Per-doc
+    aggregation shuffles (doc_id, k, -k ln p) doubles only; text never
+    crosses the wire. Rounded 4dp: cross-engine drift is libm LN ulps
+    and summation order (~1e-12 relative)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    tok = d.select("doc_id", F.explode("t").alias("w"))
+    uc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    uc = uc.localCheckpoint(eager=False)
+    total = uc.agg(F.sum("c").cast("long").alias("total"))
+    # Index-free bigram build (the O(tokens^2) substitution trap rules
+    # out transform-over-indices): zip the token array with its own
+    # 1-shifted slice.
+    pairs = F.expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " slice(t, 2, greatest(size(t) - 1, 0)),"
+        " (x, y) -> named_struct('w1', x, 'w2', y))"
+    )
+    bgc = (
+        d.select("doc_id", F.explode(pairs).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    bc = bgc.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("cb"))
+    up = uc.select(F.col("w").alias("w1"), F.col("c").alias("cp"))
+    uw = uc.select(F.col("w").alias("w2"), F.col("c").alias("cu"))
+    scored = (
+        bgc.join(bc, ["w1", "w2"])
+        .join(up, "w1")
+        .join(uw, "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nll",
+            F.expr(
+                "k * -LN(0.75 * cb / CAST(cp AS DOUBLE)"
+                " + 0.25 * cu / CAST(total AS DOUBLE))"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        (F.round(F.sum("nll") / F.sum("k"), 4) + F.lit(0)).alias("xent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_sample_temperature
+
+_TEMP_ALPHA = 0.3  # mixture temperature: share^alpha, the mT5 default
+_U_DEN = "281474976710657.0"  # 2^48 + 1 -> u in [0, 1)
+
+
+@register(
+    "corpus_sample_temperature",
+    group="X",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+    lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM lc),
+    r AS (SELECT lang, c,
+                 POWER(c / CAST(total AS DOUBLE), {_TEMP_ALPHA - 1}) AS boost
+          FROM lc, n),
+    k AS (SELECT lang,
+                 FLOOR(boost / (SELECT MAX(boost) FROM r) * 1000000 + 0.5)
+                   / 1000000 AS keep_rate
+          FROM r)
+    SELECT d.doc_id, d.lang, k.keep_rate
+    FROM d JOIN k USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+               AS UBIGINT) / {_U_DEN} < k.keep_rate
+    """,
+)
+def corpus_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling — the multilingual
+    balancing pass (mT5 / CC-style): resample so language l's corpus
+    share p_l moves toward p_l^alpha (alpha = 0.3 here), boosting
+    low-resource languages relative to the head. Deterministic
+    subsampling realizes it without an RNG: each language keeps
+    rate k_l = (p_l^(alpha-1)) / max_m(p_m^(alpha-1)) — the rarest
+    language keeps 100%, the head is thinned — and a document is kept
+    iff its md5-derived u in [0,1) falls under its language's rate
+    (the A-ES u-trick, sample_hash_det's discipline: re-running the
+    pass on the same corpus keeps the same documents).
+
+    Scale shape: one scan for the per-language counts (map-side
+    partial, #langs rows out), the keep-rate relation is language-
+    inventory-sized — corpus-INDEPENDENT (bounded by the world's
+    language codes, like nation/region), so its attach join is
+    legitimately broadcast-hinted — and the filter runs in the scan's
+    own stage: corpus rows never shuffle. Keep rates are floor-rounded
+    to 6dp with the shared floor(x*1e6+0.5) tree on both engines; u
+    has 48-bit resolution, so a libm POWER ulp cannot flip a keep
+    decision unless the rounded rate itself moves (a ~1e-16-wide
+    boundary on a #langs-sized relation)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang")
+    )
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Corpus total and max boost as EMPTY-partition windows over the
+    # #langs-row relation, not separate .agg() branches: each branch
+    # would re-run the corpus count shuffle (plan-level re-execution,
+    # the r6 materialization lesson), while the windows cost one
+    # single-partition exchange of #langs rows.
+    w = Window.partitionBy()
+    k = (
+        lc.withColumn("total", F.sum("c").over(w).cast("long"))
+        .withColumn(
+            "boost",
+            F.expr(f"POWER(c / CAST(total AS DOUBLE), {_TEMP_ALPHA - 1})"),
+        )
+        .withColumn("maxb", F.max("boost").over(w))
+        .withColumn(
+            "keep_rate",
+            F.expr("FLOOR(boost / maxb * 1000000 + 0.5) / 1000000"),
+        )
+        .select("lang", "keep_rate")
+    )
+    u = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        f" AS DOUBLE) / {_U_DEN}"
+    )
+    return (
+        d.join(F.broadcast(k), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("doc_id", "lang", "keep_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_phash
+
+# DCT-II basis, fixed-point: C[u][x] = round(cos(pi*(2x+1)u/16) * 2^13),
+# flattened row-major — generated, then inlined as the SAME literal
+# table in the Spark plan and the DuckDB oracle (exact integer parity).
+_DCT = [
+    round(math.cos(math.pi * (2 * x + 1) * u / 16) * 8192)
+    for u in range(8)
+    for x in range(8)
+]
+_DCT_SQL = "[" + ", ".join(str(c) for c in _DCT) + "]"
+_DCT_SPARK = "array(" + ", ".join(str(c) for c in _DCT) + ")"
+_PHASH_HAM = 8  # max Hamming distance (of 63 AC bits) to call a near-dup
+_PHASH_NBR = 16  # rank-neighborhood cap inside one band bucket
+
+
+@register(
+    "dedup_phash",
+    group="X",
+    oracle=f"""
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS h
+                FROM documents WHERE text IS NOT NULL),
+    px AS (
+      SELECT doc_id, j,
+             CASE WHEN 2*j+1 <= len(h)
+                  THEN ascii(substr(h, 2*j+1, 1)) ELSE 0 END AS p
+      FROM hx CROSS JOIN UNNEST(generate_series(0, 63)) g(j)
+    ),
+    rowt AS (
+      SELECT doc_id, u, j // 8 AS y,
+             CAST(SUM(CAST(p AS BIGINT)
+                      * ({_DCT_SQL})[8*u + (j % 8) + 1]) AS BIGINT) AS gv
+      FROM px CROSS JOIN UNNEST(generate_series(0, 7)) gu(u)
+      GROUP BY doc_id, u, j // 8
+    ),
+    coef AS (
+      SELECT doc_id, u, v,
+             CAST(SUM(gv * ({_DCT_SQL})[8*v + y + 1]) AS BIGINT) AS f
+      FROM rowt CROSS JOIN UNNEST(generate_series(0, 7)) gv2(v)
+      GROUP BY doc_id, u, v
+    ),
+    fx AS (SELECT doc_id, u*8 + v - 1 AS idx, f
+           FROM coef WHERE NOT (u = 0 AND v = 0)),
+    med AS (SELECT doc_id, list_sort(list(f))[32] AS med
+            FROM fx GROUP BY doc_id),
+    bands AS (
+      SELECT fx.doc_id, idx // 16 AS band_no,
+             CAST(SUM(CASE WHEN f > med THEN 1 << (idx % 16) ELSE 0 END)
+                  AS BIGINT) AS band_val
+      FROM fx JOIN med USING (doc_id) GROUP BY fx.doc_id, idx // 16
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(COALESCE(SUM(CASE WHEN band_no=0 THEN band_val END),0) AS BIGINT) AS b0,
+        CAST(COALESCE(SUM(CASE WHEN band_no=1 THEN band_val END),0) AS BIGINT) AS b1,
+        CAST(COALESCE(SUM(CASE WHEN band_no=2 THEN band_val END),0) AS BIGINT) AS b2,
+        CAST(COALESCE(SUM(CASE WHEN band_no=3 THEN band_val END),0) AS BIGINT) AS b3
+      FROM bands GROUP BY doc_id
+    ),
+    stacked AS (
+      SELECT doc_id, b0, b1, b2, b3, band_no,
+             CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+                          WHEN 2 THEN b2 ELSE b3 END AS bv
+      FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) g(band_no)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_no, bv
+                                   ORDER BY doc_id) AS rn
+      FROM stacked
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS BIGINT) AS hamming
+    FROM ranked a JOIN ranked b
+      ON a.band_no = b.band_no AND a.bv = b.bv
+     AND b.rn - a.rn >= 1 AND b.rn - a.rn <= {_PHASH_NBR}
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        <= {_PHASH_HAM}
+    """,
+)
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (pHash): the DCT upgrade of dedup_ahash.
+    aHash thresholds raw pixels against the image MEAN, so any uniform
+    brightness/contrast shift moves every bit at once; pHash transforms
+    the pixel grid with an 8x8 DCT-II first and thresholds the 63 AC
+    coefficients against their median — the DC (brightness) coefficient
+    is dropped and the signature depends only on the image's frequency
+    STRUCTURE. The classic recipe (pHash.org), here in fixed-point
+    integer arithmetic end to end so the oracle is EXACT: basis
+    C[u][x] = round(cos(pi(2x+1)u/16) * 2^13) inlined as the same
+    64-literal table in both engines, separable two-stage transform
+    (rows then columns — 2x8 sums per coefficient, never the 64-term
+    double loop), median = element 32 of the sorted 63 (odd count, no
+    interpolation), bits packed into the same 4 x 16-bit band ints as
+    dedup_ahash. |F| <= 64 * 255 * 2^26 — BIGINT-safe with headroom.
+
+    The "image" is the family's hex-rendition stand-in and the pixel
+    grid the stride-2 thumbnail, exactly as dedup_ahash (swap a real
+    grayscale decoder in production; nothing else moves).
+
+    Pairing is dedup_ahash's banded rank-neighborhood verbatim: band
+    value IN the equi-join key, rank-bucket (rn DIV 16) two-sided
+    explode, <= 4 x 16 x 2 joined rows per doc, identical-signature
+    piles chain transitively (the pile law). Threshold: hamming <= 8
+    of 63 — on the fixtures planted near-dups land at 0-8 and the
+    word-soup background starts at 12 (measured nearest-neighbor
+    histogram; the 4-band split catches 35/35 planted pairs with a
+    ~3e-4 background band-collision rate)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("h"))
+    )
+    px = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        F.expr(
+            "CASE WHEN 2*j+1 <= length(h)"
+            " THEN ascii(substr(h, 2*j+1, 1)) ELSE 0 END"
+        ).alias("p"),
+    )
+    rowt = (
+        px.select(
+            "doc_id",
+            "j",
+            "p",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("u"),
+        )
+        .groupBy("doc_id", "u", F.expr("j DIV 8").alias("y"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(p AS BIGINT)"
+                    f" * element_at({_DCT_SPARK}, 8*u + (j % 8) + 1)"
+                )
+            ).alias("gv")
+        )
+    )
+    coef = (
+        rowt.select(
+            "doc_id",
+            "u",
+            "y",
+            "gv",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("v"),
+        )
+        .groupBy("doc_id", "u", "v")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"gv * element_at({_DCT_SPARK},"
+                    " CAST(8*v + y + 1 AS INT))"
+                )
+            ).alias("f")
+        )
+    )
+    # fx feeds BOTH the median aggregate and the band packer; ranked
+    # feeds BOTH sides of the pair join — without barriers each branch
+    # re-executes the whole DCT pipeline (the r6 materialization
+    # lesson; measured 17 exchanges vs 6 with the checkpoints).
+    fx = (
+        coef.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
+        .select("doc_id", F.expr("u*8 + v - 1").alias("idx"), "f")
+        .localCheckpoint(eager=False)
+    )
+    med = fx.groupBy("doc_id").agg(
+        F.expr("element_at(sort_array(collect_list(f)), 32)").alias("med")
+    )
+    bands = (
+        fx.join(med, "doc_id")
+        .groupBy("doc_id", F.expr("idx DIV 16").alias("band_no"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN f > med"
+                    " THEN shiftleft(1, idx % 16) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("band_val")
+        )
+    )
+    one = lambda i: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("band_no") == i, F.col("band_val"))), F.lit(0)
+    ).cast("long")
+    sig = bands.groupBy("doc_id").agg(
+        one(0).alias("b0"), one(1).alias("b1"),
+        one(2).alias("b2"), one(3).alias("b3"),
+    )
+    stacked = sig.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_no"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1"
+            " WHEN 2 THEN b2 ELSE b3 END"
+        ),
+    )
+    ranked = stacked.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band_no", "bv").orderBy("doc_id")
+        ),
+    ).localCheckpoint(eager=False)
+    nbr = _PHASH_NBR
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"), F.col("b3").alias("a3"),
+        "band_no", "bv", F.col("rn").alias("rn_a"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.expr(f"rn_a DIV {nbr}"), F.expr(f"rn_a DIV {nbr} + 1"))
+        ),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"), F.col("b3").alias("c3"),
+        F.col("band_no").alias("band_b"), F.col("bv").alias("bv_b"),
+        F.col("rn").alias("rn_b"),
+    ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_no") == F.col("band_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= nbr),
+        )
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAM)
+        .distinct()
+    )

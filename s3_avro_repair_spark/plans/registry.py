@@ -90,6 +90,9 @@ _OP_MODULES = [
     # sort behind the companions — together they fill the r6 window's
     # spare slots (38 critical keys + 10 extensions + 2 buffer).
     "s3_avro_repair_spark.operators.extensions",    # X (r6 pipeline ops)
+    # LAST+2: r9 curation ops (bigram LM, temperature resample, pHash)
+    # — never-attested at introduction, behind everything prior.
+    "s3_avro_repair_spark.operators.curation",      # X (r9 curation ops)
 ]
 
 _loaded = False

@@ -711,3 +711,157 @@ def test_dedup_ahash_pile_chains(spark, tmp_path_factory):
     # the full C(100,2) = 4950
     assert len(pile_pairs) <= 16 * len(pile_ids) * 4  # 4 bands
     assert len(pile_pairs) < 4950, len(pile_pairs)
+
+
+def test_dedup_phash_planted_near_identical(spark, tmp_path_factory):
+    """pHash recall on planted near-identical "images": 6 pairs
+    differing by ONE byte inside the pixel window among 30 unrelated
+    docs. Deterministic integer DCT, so the outcome is stable: at
+    least 5 of 6 planted pairs surface at hamming <= 8 (numpy
+    cross-check: all 6 land <= 8 and the banded 4x16 split catches
+    them), and NO unrelated pair does — the background nearest
+    neighbor measures hamming >= 12 on this corpus."""
+    import random
+
+    tmp = tmp_path_factory.mktemp("phashprop")
+    rnd = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    rows, planted = [], set()
+    for i in range(6):
+        base = "".join(rnd.choice(alpha) for _ in range(120))
+        near = base[:30] + ("Q" if base[30] != "Q" else "R") + base[31:]
+        rows.append((100 + 2 * i, base))
+        rows.append((101 + 2 * i, near))
+        planted.add((100 + 2 * i, 101 + 2 * i))
+    for i in range(30):
+        rows.append((500 + i, "".join(rnd.choice(alpha) for _ in range(120))))
+    sf = _write_docs(tmp, rows)
+    out = _OPS["dedup_phash"].fn(spark, sf).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert len(planted & pairs) >= 5, sorted(planted - pairs)
+    assert pairs <= planted, sorted(pairs - planted)[:10]
+    assert (out.hamming <= 8).all()
+
+
+def test_dedup_phash_brightness_invariant_ahash_is_not_structural(
+    spark, tmp_path_factory
+):
+    """The property that makes pHash the upgrade: the DC coefficient
+    (global brightness) is DROPPED, so two images whose every pixel
+    differs by the same constant hash identically. The hex stand-in
+    realizes a uniform +16-brightness shift as a high-nibble bump on
+    every byte ('A'..'O' -> 'Q'.._' ): pHash must pair the two at
+    hamming 0."""
+    import random
+
+    tmp = tmp_path_factory.mktemp("phashdc")
+    rnd = random.Random(3)
+    t1 = "".join(chr(0x41 + rnd.randrange(15)) for _ in range(120))
+    t2 = "".join(chr(ord(c) + 0x10) for c in t1)
+    rows = [(1, t1), (2, t2)]
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    for i in range(10):
+        rows.append((50 + i, "".join(rnd.choice(alpha) for _ in range(120))))
+    sf = _write_docs(tmp, rows)
+    out = _OPS["dedup_phash"].fn(spark, sf).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
+    assert pairs.get((1, 2)) == 0, pairs
+
+
+def test_dedup_phash_pile_chains(spark, tmp_path_factory):
+    """The rank-cap tail-pin (dedup_ahash's pile law applied to
+    pHash): 100 IDENTICAL images must come out transitively connected
+    within bounded join fanout — identical signatures share every band
+    bucket, so <=16-rank-apart pairs form a path over the pile."""
+    import random
+
+    tmp = tmp_path_factory.mktemp("phashpile")
+    rnd = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    img = "".join(rnd.choice(alpha) for _ in range(120))
+    pile_ids = list(range(3000, 3100))
+    rows = [(did, img) for did in pile_ids]
+    for i in range(20):
+        rows.append((5000 + i, "".join(rnd.choice(alpha) for _ in range(120))))
+    sf = _write_docs(tmp, rows)
+
+    out = _OPS["dedup_phash"].fn(spark, sf).toPandas()
+    members = set(pile_ids)
+    pile_pairs = [
+        (int(r.id_a), int(r.id_b))
+        for r in out.itertuples()
+        if int(r.id_a) in members or int(r.id_b) in members
+    ]
+    assert all(a in members and b in members for a, b in pile_pairs)
+    assert all(r.hamming == 0 for r in out.itertuples()
+               if int(r.id_a) in members)
+    parent = {d: d for d in pile_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pile_pairs:
+        parent[find(a)] = find(b)
+    assert len({find(d) for d in pile_ids}) == 1
+    assert len(pile_pairs) <= 16 * len(pile_ids) * 4
+    assert len(pile_pairs) < 4950, len(pile_pairs)
+
+
+def test_text_perplexity_bigram_orders_fluency(spark, tmp_path_factory):
+    """The bigram score's whole point vs the unigram one: word ORDER
+    matters. A corpus of documents repeating the same sentence gives
+    low cross-entropy to another document with the same bigrams, and
+    high cross-entropy to a document using the SAME VOCABULARY in
+    shuffled order (every bigram novel -> only the 0.25-weighted
+    unigram backoff supports it). The unigram score cannot separate
+    the two at all."""
+    tmp = tmp_path_factory.mktemp("bigramflu")
+    sent = "the quick brown fox jumps over the lazy dog".split()
+    rows = [(i, " ".join(sent * 4)) for i in range(20)]
+    fluent = " ".join(sent * 3)
+    shuffled = " ".join(
+        [sent[j] for j in (3, 8, 1, 6, 0, 5, 2, 7, 4)] * 3
+    )
+    rows.append((100, fluent))
+    rows.append((101, shuffled))
+    sf = _write_docs(tmp, rows)
+    out = (
+        _OPS["text_perplexity_bigram"].fn(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[100, "xent"] < out.loc[101, "xent"]
+    # n_bigrams = tokens - 1 for each doc
+    assert out.loc[100, "n_bigrams"] == 27 - 1
+    uni = (
+        _OPS["text_perplexity_unigram"].fn(spark, sf).toPandas()
+        .set_index("doc_id")
+    )
+    # same bag of words -> unigram xent identical; bigram separates
+    assert abs(uni.loc[100, "xent"] - uni.loc[101, "xent"]) < 1e-9
+
+
+def test_corpus_sample_temperature_balances_languages(
+    spark, tmp_path_factory
+):
+    """Temperature resampling semantics on a 9:1 two-language corpus:
+    the rare language keeps EVERYTHING (rate 1.0 by normalization),
+    the head keeps ~(1/9)^0.7 = 0.2148 of its documents, moving the
+    mixture from 90/10 toward ~66/34 (the alpha=0.3 target). The
+    md5-u sampler is deterministic, so exact counts are stable across
+    runs; this asserts the structural guarantees plus a loose band on
+    the realized head rate."""
+    tmp = tmp_path_factory.mktemp("tempsample")
+    rows = [(i, f"head doc {i}", "en") for i in range(900)]
+    rows += [(10_000 + i, f"tail doc {i}", "sw") for i in range(100)]
+    sf = _write_docs(tmp, rows)
+    out = _OPS["corpus_sample_temperature"].fn(spark, sf).toPandas()
+    by_lang = out.groupby("lang").doc_id.count()
+    assert by_lang["sw"] == 100  # rarest language: rate 1.0, all kept
+    expected = 900 * (100 / 900) ** 0.7
+    assert 0.75 * expected <= by_lang["en"] <= 1.25 * expected, by_lang
+    rates = out.groupby("lang").keep_rate.first()
+    assert rates["sw"] == 1.0
+    assert abs(rates["en"] - round((1 / 9) ** 0.7, 6)) < 2e-6

@@ -50,9 +50,11 @@ def test_contract_shape():
     # + the 10 r6 companion-bound keys (hash-checkable contracts for
     # the rows-only sketch ops) + the 10 r6 extension ops
     # (operators/extensions.py) + the r8 dedup modalities
-    # (dedup_substring + its removal pass, dedup_ahash). Pinned EXACT (==, not >=): both
+    # (dedup_substring + its removal pass, dedup_ahash) + the r9
+    # curation ops (operators/curation.py: text_perplexity_bigram,
+    # corpus_sample_temperature, dedup_phash). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 257
+    assert len(qs) == 260
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {

@@ -761,6 +761,21 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     #   + the per-doc accounting join (<= n_docs).
     assert joined("dedup_substring_apply") <= 3 * n_tokens
 
+    # r9 curation ops:
+    # - text_perplexity_bigram: per-doc distinct-bigram rows are
+    #   <= n_tokens; the three count attaches (bigram, left word,
+    #   right word) emit one row per such row each, plus the 1-row
+    #   total cross -> <= 4 x n_tokens (x1.5 slack for AQE node
+    #   attribution).
+    # - corpus_sample_temperature: the keep-rate attach emits one row
+    #   per document; the two scalar crosses add #langs rows.
+    # - dedup_phash: median attach = 63 rows/doc; banded pair join
+    #   <= 4 bands x 16 rank-nbrs x 2 bucket-copies per doc (the
+    #   dedup_ahash law with the stats attach one row smaller).
+    assert joined("text_perplexity_bigram") <= 6 * n_tokens
+    assert joined("corpus_sample_temperature") <= 2 * n_docs
+    assert joined("dedup_phash") <= (64 + 4 * 16 * 2) * n_docs
+
 
 def test_no_broadcast_hints_on_sf_scaling_tables():
     """The r6 posture debt, pinned: `F.broadcast()` in the Q-group
