@@ -452,3 +452,208 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_HAM)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic
+
+_SEM_K = 8  # Lloyd centroids (fixed for the exact oracle; see docstring)
+_SEM_NBR = 16  # rank-neighborhood cap inside one cluster
+_SEM_TAU = 0.35  # cosine threshold (the dedup_embedding_cosine dial)
+
+_SEM_ORACLE = f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS scale
+      FROM t
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(dv, x -> CAST(floor(127 * x / scale + 0.5) AS INT))
+               AS v
+      FROM s WHERE scale > 0
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM q WHERE vec_id < {_SEM_K}),
+    a1 AS (
+      SELECT vec_id, v, cid,
+             (SELECT SUM((v[i] - c[i]) * (v[i] - c[i]))
+              FROM generate_series(1, 64) g(i)) AS d2
+      FROM q, c0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cv ORDER BY i) AS c
+      FROM (
+        SELECT cid, i, CAST(floor(SUM(v[i]) * 1.0 / COUNT(*)) AS INT) AS cv
+        FROM a1, generate_series(1, 64) g(i)
+        GROUP BY cid, i
+      )
+      GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, v, cid,
+             (SELECT SUM((v[i] - c[i]) * (v[i] - c[i]))
+              FROM generate_series(1, 64) g(i)) AS d2
+      FROM q, c1
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    ),
+    r AS (
+      SELECT vec_id, v, cid,
+             ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rn
+      FROM a2
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cluster_id,
+             (SELECT SUM(CAST(a.v[i] AS BIGINT) * b.v[i])
+              FROM generate_series(1, 64) g(i)) AS dot,
+             (SELECT SUM(CAST(a.v[i] AS BIGINT) * a.v[i])
+              FROM generate_series(1, 64) g(i)) AS na2,
+             (SELECT SUM(CAST(b.v[i] AS BIGINT) * b.v[i])
+              FROM generate_series(1, 64) g(i)) AS nb2
+      FROM r a JOIN r b
+        ON a.cid = b.cid AND b.rn - a.rn >= 1 AND b.rn - a.rn <= {_SEM_NBR}
+    )
+    SELECT DISTINCT id_a, id_b, CAST(cluster_id AS BIGINT) AS cluster_id,
+           ROUND(dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))),
+                 4) AS cosine
+    FROM cand
+    WHERE dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))
+          >= {_SEM_TAU}
+"""
+
+
+@register("dedup_semantic", group="X", oracle=_SEM_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with k-means, then
+    look for near-duplicate pairs ONLY among items close within their
+    cluster — the clustering replaces the quadratic all-pairs scan
+    with per-cluster neighborhoods, the way the paper prunes LAION.
+
+    Construction reuses the engine's exact-arithmetic building blocks:
+    kmeans_quantized's integer Lloyd (int8 quantization, integer
+    squared distances, floor-divide centroid updates; k = 8, 2 rounds,
+    smallest-ids init — k is FIXED so the oracle can unroll the
+    rounds into chained CTEs; production derives k from corpus size
+    like sim_ann_ivf's n/5000 and the plan shape is k-independent),
+    then ranks each cluster by (distance to final centroid, vec_id)
+    and pairs rank neighbors <= 16 apart — embeddings of
+    near-duplicates sit at near-equal centroid distance, so the rank
+    window is where they meet (and identical vectors chain
+    transitively, the dedup_near pile law). Pair cosine is computed on
+    the QUANTIZED codes — all-integer dot and norms, one IEEE sqrt
+    each side — so the oracle is exact; threshold 0.35 (the
+    dedup_embedding_cosine dial; the synthetic embeddings' related
+    pairs land 0.35-0.5, background < 0.3).
+
+    Scale shape: assignment broadcasts k tiny centroids against the
+    vector scan (never a vector shuffle); the rank window shuffles
+    (cid, d2) once; the pair join is rank-bucketed (bkt DIV 16
+    two-sided explode) — <= 2 x 16 joined rows per vector at any
+    corpus size. The Lloyd relation is checkpointed: the window and
+    both join sides would otherwise re-run the whole iteration
+    pipeline per branch."""
+    e = table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("dv"),
+    )
+    s = t.select(
+        "vec_id", "dv",
+        F.expr("array_max(transform(dv, x -> abs(x)))").alias("scale"),
+    )
+    q = s.filter(F.col("scale") > 0).select(
+        "vec_id",
+        F.expr(
+            "transform(dv, x -> cast(floor(127 * x / scale + 0.5) as int))"
+        ).alias("v"),
+    )
+    cents = q.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(2):
+        d2 = F.expr(
+            "aggregate(zip_with(v, c, (x, y) -> CAST(x - y AS BIGINT) * (x - y)),"
+            " 0L, (a, x) -> a + x)"
+        )
+        pairs = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assign = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+        dims = (
+            assign.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("val") / F.count(F.lit(1))).cast("int").alias("cv")
+            )
+        )
+        cents = dims.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cv))), p -> p.cv)"
+            ).alias("c")
+        )
+    ranked = (
+        assign.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy("d2", "vec_id")
+            ),
+        )
+        .withColumn(
+            "n2",
+            F.expr(
+                "aggregate(transform(v, x -> CAST(x AS BIGINT) * x),"
+                " 0L, (a, x) -> a + x)"
+            ),
+        )
+        .select("vec_id", "v", "cid", "rn", "n2")
+        .localCheckpoint(eager=False)
+    )
+    nbr = _SEM_NBR
+    a = ranked.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        "cid", F.col("rn").alias("rn_a"), F.col("n2").alias("na2"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.array(F.expr(f"rn_a DIV {nbr}"), F.expr(f"rn_a DIV {nbr} + 1"))
+        ),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("cid").alias("cid_b"), F.col("rn").alias("rn_b"),
+        F.col("n2").alias("nb2"),
+    ).withColumn("bkt", F.expr(f"rn_b DIV {nbr}"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS BIGINT) * y),"
+        " 0L, (a, x) -> a + x)"
+    )
+    cos = F.expr(
+        "dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (a["bkt"] == b["bkt"])
+            & (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= nbr),
+        )
+        .withColumn("dot", dot)
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _SEM_TAU)
+        .select(
+            "id_a", "id_b",
+            F.col("cid").cast("long").alias("cluster_id"),
+            F.round("cos", 4).alias("cosine"),
+        )
+        .distinct()
+    )

@@ -865,3 +865,46 @@ def test_corpus_sample_temperature_balances_languages(
     rates = out.groupby("lang").keep_rate.first()
     assert rates["sw"] == 1.0
     assert abs(rates["en"] - round((1 / 9) ** 0.7, 6)) < 2e-6
+
+
+def test_dedup_semantic_planted_near_identical(spark, tmp_path_factory):
+    """SemDeDup recall: planted near-identical embedding pairs (one
+    dimension nudged 2%) must surface from the cluster-scoped rank
+    window at cosine ~1.0, and orthogonal-ish background vectors must
+    not pair above the 0.35 threshold. Deterministic construction —
+    no RNG in the op, integer Lloyd — so the outcome is stable."""
+    import numpy as np
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("semdedup")
+    rnd = np.random.RandomState(5)
+    rows, planted = [], set()
+    vid = 0
+    # 40 background vectors: unit-ish random, pairwise cos ~ 0 at dim 64
+    for _ in range(40):
+        rows.append((vid, rnd.randn(64).astype("float32"), 0))
+        vid += 1
+    # 5 planted pairs: copy with one component nudged
+    for i in range(5):
+        base = rnd.randn(64).astype("float32")
+        near = base.copy()
+        near[7] *= 1.02
+        rows.append((1000 + 2 * i, base, 1))
+        rows.append((1001 + 2 * i, near, 1))
+        planted.add((1000 + 2 * i, 1001 + 2 * i))
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+            "label": [r[2] for r in rows],
+        }
+    ).to_parquet(str(tmp / "embeddings.parquet"))
+    out = _OPS["dedup_semantic"].fn(spark, str(tmp)).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert planted <= pairs, sorted(planted - pairs)
+    # every reported pair clears the threshold; the planted ones are
+    # essentially identical
+    assert (out.cosine >= 0.35).all()
+    got = out.set_index(["id_a", "id_b"]).cosine
+    for p in planted:
+        assert got.loc[p] >= 0.99, (p, got.loc[p])

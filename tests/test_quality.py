@@ -775,6 +775,10 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     assert joined("text_perplexity_bigram") <= 6 * n_tokens
     assert joined("corpus_sample_temperature") <= 2 * n_docs
     assert joined("dedup_phash") <= (64 + 4 * 16 * 2) * n_docs
+    # - dedup_semantic: 2 Lloyd assignment crosses (k=8 centroids x
+    #   n_vec each) + the rank-bucketed pair join (<= 16 nbrs x 2
+    #   bucket-copies per vector).
+    assert joined("dedup_semantic") <= (2 * 8 + 16 * 2 + 8) * n_vec
 
 
 def test_no_broadcast_hints_on_sf_scaling_tables():
