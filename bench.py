@@ -85,6 +85,11 @@ SECONDARY = [
     "dedup_substring",        # cross-doc shingle runs (digest join + islands)
     "dedup_ahash",            # perceptual aHash banded Hamming pairing
     "dedup_substring_apply",  # span removal: anti-join + ordered rebuild
+    # r9 curation ops; first recorded r9, guard comparisons start r10:
+    "text_perplexity_bigram",  # 3 vocab joins over checkpointed counts
+    "corpus_sample_temperature",  # lang-rate broadcast + scan-stage filter
+    "dedup_phash",            # two-stage integer DCT + banded pairing
+    "dedup_semantic",         # Lloyd k-means + cluster-ranked cosine pairs
 ]
 
 
