@@ -520,7 +520,8 @@ _SEM_ORACLE = f"""
            ROUND(dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE))),
                  4) AS cosine
     FROM cand
-    WHERE dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))
+    WHERE na2 > 0 AND nb2 > 0
+      AND dot / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))
           >= {_SEM_TAU}
 """
 
@@ -648,6 +649,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rn_b") - F.col("rn_a") <= nbr),
         )
         .withColumn("dot", dot)
+        # Zero-norm guard: finite inputs always quantize to norm
+        # >= 127^2, but a nonfinite embedding can quantize to all
+        # zeros — an unguarded ANSI division then aborts the job
+        # (nonfinite-doubles sweep). Both engines drop such rows
+        # identically.
+        .filter((F.col("na2") > 0) & (F.col("nb2") > 0))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _SEM_TAU)
         .select(

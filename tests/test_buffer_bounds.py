@@ -34,6 +34,7 @@ BOUNDED_COLLECT_SITES = {
     "operators/graph.py": (1, "k=4 centroids (kmeans_quantized)"),
     "operators/composite.py": (1, "per-document segment list (q_corpus_pipeline)"),
     "operators/extensions.py": (1, "per-document kept-token list (dedup_substring_apply)"),
+    "operators/curation.py": (2, "63 DCT coefficients per doc (dedup_phash median); 64 centroid dims per cid (dedup_semantic Lloyd)"),
 }
 
 EXACT_PERCENTILE = re.compile(
