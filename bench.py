@@ -61,6 +61,9 @@ HEADLINE = [
     "ts_resample_ohlc",         # two-rank window + exchange-reusing agg
     "sample_reservoir_weighted",  # zero-exchange weighted top-k
     "embedding_centroid_distance",  # posexplode + broadcast centroids
+    # r9 additions; first recorded r9, guard comparisons start r10:
+    "ts_seasonal_decompose",    # bucket agg + two ordered-fold windows
+    "dedup_url_canonical",      # parse_url canonicalize + one agg
 ]
 
 # Secondary tier: the iterative / blocked ops whose cost is dominated

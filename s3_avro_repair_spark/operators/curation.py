@@ -1,12 +1,15 @@
 """X group (round 9) — corpus-curation operators.
 
-Three operators a 100 TB training-data pipeline runs between raw crawl
-and tokenizer: interpolated bigram-LM quality scoring (the KenLM-style
+Operators a 100 TB training-data pipeline runs between raw crawl and
+tokenizer: interpolated bigram-LM quality scoring (the KenLM-style
 filter one step beyond text_perplexity_unigram), temperature-scaled
-mixture resampling (the mT5/CC multilingual balancing pass), and
-DCT-based perceptual image dedup (pHash — the brightness-invariant
-upgrade of dedup_ahash). Every op is a declarative DataFrame plan
-(zero Python in the row path) with an exact DuckDB oracle.
+mixture resampling (the mT5/CC multilingual balancing pass), DCT-based
+perceptual image dedup (pHash — the brightness-invariant upgrade of
+dedup_ahash), SemDeDup-style cluster-scoped embedding dedup, classical
+additive seasonal decomposition (the metrics-pipeline pre-alerting
+pass), and crawl URL canonicalization dedup. Every op is a declarative
+DataFrame plan (zero Python in the row path) with an exact DuckDB
+oracle.
 
 Registered LAST in plans/registry._OP_MODULES: new keys are
 never-attested and must sort behind every key still waiting for (or
@@ -663,4 +666,288 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 4).alias("cosine"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_decompose
+
+
+@register(
+    "ts_seasonal_decompose",
+    group="X",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, ts, value FROM events
+      WHERE value IS NOT NULL AND isfinite(value)
+    ),
+    b AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hb,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS v
+      FROM e
+      GROUP BY event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+    ),
+    t AS (
+      SELECT event_type, hb, v,
+             list(v) OVER (PARTITION BY event_type ORDER BY hb NULLS FIRST
+                           ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS l,
+             ((hb // 3600000000) % 24 + 24) % 24 AS hod
+      FROM b
+    ),
+    i AS (
+      SELECT event_type, hb, hod, v,
+             list_reduce(l, (a, x) -> a + x) / 24 AS trend
+      FROM t WHERE len(l) = 24
+    ),
+    s AS (
+      SELECT event_type, hb, v, trend,
+             list(v - trend) OVER (
+               PARTITION BY event_type, hod ORDER BY hb NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS sl
+      FROM i
+    )
+    SELECT event_type, hb,
+           FLOOR(v * 10000 + 0.5) / 10000 + 0 AS v,
+           FLOOR(trend * 10000 + 0.5) / 10000 + 0 AS trend,
+           FLOOR(list_reduce(sl, (a, x) -> a + x) / len(sl) * 10000 + 0.5)
+             / 10000 + 0 AS seasonal,
+           FLOOR((v - trend - list_reduce(sl, (a, x) -> a + x) / len(sl))
+                 * 10000 + 0.5) / 10000 + 0 AS residual
+    FROM s
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition per series (the
+    moving-average method, statsmodels\' `seasonal_decompose` shape):
+    value = trend + seasonal + residual over hourly buckets with a
+    daily (24-hour) season. Trend is a centered 24-row moving average
+    over the series\' OBSERVED bucket sequence (rows, not calendar
+    hours — gaps compress; the full-window gate drops the edge rows a
+    centered MA cannot define, exactly as statsmodels drops them).
+    Seasonal is the hour-of-day mean of the detrended interior;
+    residual is what\'s left. The forecasting/anomaly companion to
+    ts_downsample/ts_ewma — what a metrics pipeline runs before
+    alerting on the residual.
+
+    Cross-engine exactness is built, not rounded-for: bucket means use
+    the DECIMAL(18,2)-sum/count pattern (bit-identical), and BOTH
+    window averages are LEFT FOLDS over ordered frame lists
+    (collect_list over a ROWS frame == DuckDB list() OVER, the
+    attested ts_ewma pairing; Spark aggregate(0D, +) == DuckDB
+    list_reduce — (0 + x1) is exact in IEEE) — engine-internal window
+    AVG would sum in different orders (Spark recomputes frames, DuckDB
+    uses segment trees) and a ~1e-13 drift measurably crosses 4dp
+    rounding boundaries on this fixture. Hour-of-day is integer
+    arithmetic with the pmod mask (pre-epoch-exact: hb is a whole-hour
+    multiple, so truncating and flooring division agree); NULL buckets
+    sort NULLS FIRST explicitly (engine defaults disagree); nonfinite
+    values are gated with the isfinite discipline (a NaN would poison
+    Spark\'s decimal cast under ANSI).
+
+    Scale shape: one bucket aggregate (map-side partial), then two
+    window passes — (series) ordered and (series, hour-of-day) — both
+    over the BUCKET relation (corpus span / bucket width rows, not
+    event rows). The frame lists are 24 doubles; the seasonal list is
+    one value per observed day per (series, hod). No joins at all."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < float("inf"))
+    )
+    b = e.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hb"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    w24 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hb").asc_nulls_first())
+        .rowsBetween(-11, 12)
+    )
+    t = b.withColumn("l", F.collect_list("v").over(w24)).withColumn(
+        "hod", F.expr("pmod(hb DIV 3600000000, 24)")
+    )
+    i = t.filter(F.size("l") == 24).withColumn(
+        "trend",
+        F.expr("aggregate(l, CAST(0 AS DOUBLE), (a, x) -> a + x) / 24"),
+    )
+    ws = (
+        Window.partitionBy("event_type", "hod")
+        .orderBy(F.col("hb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sdf = i.withColumn(
+        "sl", F.collect_list(F.col("v") - F.col("trend")).over(ws)
+    ).withColumn(
+        "seasonal",
+        F.expr(
+            "aggregate(sl, CAST(0 AS DOUBLE), (a, x) -> a + x) / size(sl)"
+        ),
+    )
+    # Shared half-up tree, NOT engine ROUND: the trend quotient lands
+    # EXACTLY on 4dp boundaries (e.g. 687.15/24 = 28.63125) and the
+    # engines' ROUND disagree there (the one-ULP boundary gotcha).
+    r4 = lambda c, n: (  # noqa: E731
+        F.floor(c * 10000 + F.lit(0.5)) / 10000 + F.lit(0)
+    ).alias(n)
+    return sdf.select(
+        "event_type",
+        "hb",
+        r4(F.col("v"), "v"),
+        r4(F.col("trend"), "trend"),
+        r4(F.col("seasonal"), "seasonal"),
+        r4(F.col("v") - F.col("trend") - F.col("seasonal"), "residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical
+
+# Tracking parameters every crawl canonicalizer strips (Google/Facebook
+# click ids + the utm_* family).
+_URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+@register(
+    "dedup_url_canonical",
+    group="X",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(source, '[^a-zA-Z0-9-]', '', 'g') AS s,
+             regexp_replace(lang, '[^a-zA-Z0-9-]', '', 'g') AS l
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        AND source IS NOT NULL AND lang IS NOT NULL
+    ),
+    g AS (SELECT * FROM u WHERE length(s) > 0 AND length(l) > 0),
+    raw AS (
+      SELECT doc_id, j,
+             CASE j
+               WHEN 0 THEN 'https://' || s || '.example.org/' || l || '/'
+                           || CAST(doc_id AS VARCHAR) || '/'
+               WHEN 1 THEN 'HTTP://WWW.' || upper(s) || '.EXAMPLE.ORG/' || l
+                           || '/' || CAST(doc_id AS VARCHAR)
+                           || '?utm_source=feed&utm_campaign=x'
+               ELSE 'https://' || s || '.example.org/' || l || '/'
+                    || CAST(doc_id AS VARCHAR) || '?q='
+                    || CAST(n_chars AS VARCHAR) || '#section-2'
+             END AS url
+      FROM g CROSS JOIN UNNEST(generate_series(0, 2)) t(j)
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '^[a-zA-Z]+://', '') AS rest
+      FROM raw
+    ),
+    split AS (
+      SELECT doc_id, url,
+             regexp_replace(lower(split_part(rest, '/', 1)),
+                            '^www\\.', '') AS host,
+             regexp_replace(
+               split_part(split_part(
+                 substr(rest, length(split_part(rest, '/', 1)) + 1),
+                 '#', 1), '?', 1),
+               '/+$', '') AS path,
+             split_part(split_part(
+               substr(rest, length(split_part(rest, '/', 1)) + 1),
+               '#', 1), '?', 2) AS query
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id,
+             host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        SELECT doc_id, host, path,
+               -- COALESCE: an all-filtered (tracking-only) or absent
+               -- query must canonicalize as '', never NULL ('' is not
+               -- NULL — the string_agg gotcha; a NULL here would
+               -- collapse every tracking-only URL into one NULL group)
+               COALESCE(array_to_string(
+                 list_filter(string_split(query, '&'),
+                             p -> p <> '' AND NOT regexp_matches(
+                                    p, '{_URL_TRACKING_RE}')),
+                 '&'), '') AS cq
+        FROM split
+      )
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier / WARC-merge
+    step that collapses scheme drift, WWW prefixes, host case,
+    trailing slashes, tracking parameters (utm_*, fbclid, gclid), and
+    fragments into one canonical key, while PRESERVING real query
+    parameters (a ?q= page is NOT its parameterless sibling). Three
+    renditions per document are constructed from sanitized fixture
+    columns (fn_url's ground-truth-by-construction discipline): the
+    clean https form with a trailing slash, a shouting HTTP://WWW
+    variant carrying only tracking params, and a real-query + fragment
+    form. The first two must collapse (n_urls = 2); the third keeps
+    its ?q= and stands alone (n_urls = 1).
+
+    The Spark side canonicalizes with parse_url(HOST/PATH/QUERY) +
+    regexp/filter HOFs; the oracle REIMPLEMENTS the canonicalizer with
+    generic string splitting — two independent implementations must
+    agree on every URL, so a canonicalization bug on either side
+    breaks the hash. Pure codegen expressions, one aggregate — a
+    narrow map + one shuffle of canonical keys at any scale."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("n_chars").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.regexp_replace("source", "[^a-zA-Z0-9-]", "").alias("s"),
+            F.regexp_replace("lang", "[^a-zA-Z0-9-]", "").alias("l"),
+        )
+        .filter((F.length("s") > 0) & (F.length("l") > 0))
+    )
+    raw = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+        F.expr(
+            "CASE j"
+            " WHEN 0 THEN 'https://' || s || '.example.org/' || l || '/'"
+            "   || CAST(doc_id AS STRING) || '/'"
+            " WHEN 1 THEN 'HTTP://WWW.' || upper(s) || '.EXAMPLE.ORG/' || l"
+            "   || '/' || CAST(doc_id AS STRING)"
+            "   || '?utm_source=feed&utm_campaign=x'"
+            " ELSE 'https://' || s || '.example.org/' || l || '/'"
+            "   || CAST(doc_id AS STRING) || '?q='"
+            "   || CAST(n_chars AS STRING) || '#section-2'"
+            " END"
+        ).alias("url"),
+    )
+    cq = (
+        "array_join(filter(split(coalesce(parse_url(url, 'QUERY'), ''), '&'),"
+        f" p -> p <> '' AND NOT p rlike '{_URL_TRACKING_RE}'), '&')"
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.lower(F.expr("parse_url(url, 'HOST')")), r"^www\.", ""
+            ),
+            F.regexp_replace(F.expr("parse_url(url, 'PATH')"), "/+$", ""),
+            F.expr(f"CASE WHEN {cq} = '' THEN '' ELSE '?' || {cq} END"),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
     )

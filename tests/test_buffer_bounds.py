@@ -34,7 +34,7 @@ BOUNDED_COLLECT_SITES = {
     "operators/graph.py": (1, "k=4 centroids (kmeans_quantized)"),
     "operators/composite.py": (1, "per-document segment list (q_corpus_pipeline)"),
     "operators/extensions.py": (1, "per-document kept-token list (dedup_substring_apply)"),
-    "operators/curation.py": (2, "63 DCT coefficients per doc (dedup_phash median); 64 centroid dims per cid (dedup_semantic Lloyd)"),
+    "operators/curation.py": (4, "63 DCT coefficients per doc (dedup_phash median); 64 centroid dims per cid (dedup_semantic Lloyd); 24-row trend frame + one-per-day seasonal list (ts_seasonal_decompose)"),
 }
 
 EXACT_PERCENTILE = re.compile(

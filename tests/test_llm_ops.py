@@ -908,3 +908,69 @@ def test_dedup_semantic_planted_near_identical(spark, tmp_path_factory):
     got = out.set_index(["id_a", "id_b"]).cosine
     for p in planted:
         assert got.loc[p] >= 0.99, (p, got.loc[p])
+
+
+def test_ts_seasonal_decompose_recovers_planted_season(
+    spark, tmp_path_factory
+):
+    """Exact-recovery check on a purely periodic series: hourly values
+    value(h) = 50 + hod (period 24, no noise). Every full 24-row
+    centered window covers each hour-of-day exactly once, so the
+    moving-average trend is the flat period mean 61.5, the seasonal
+    component is exactly hod - 11.5, and the residual is exactly 0 —
+    the decomposition identity with zero tolerance (the op's
+    arithmetic is deterministic end to end)."""
+    import pandas as pd
+
+    tmp = tmp_path_factory.mktemp("seasonal")
+    hours = 24 * 5  # 5 full days
+    base_us = 1_700_000_000_000_000  # some exact whole hour below
+    base_us -= base_us % 3_600_000_000
+    rows = []
+    for h in range(hours):
+        hb = base_us + h * 3_600_000_000
+        hod = (hb // 3_600_000_000) % 24
+        rows.append((h, hb, float(50 + hod)))
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "user_id": 1,
+            "event_type": "m",
+            "value": [r[2] for r in rows],
+            "props": "{}",
+        }
+    ).to_parquet(str(tmp_path_factory.getbasetemp() / "x.parquet"))
+    # write into the sf_dir layout
+    import shutil
+
+    shutil.move(
+        str(tmp_path_factory.getbasetemp() / "x.parquet"),
+        str(tmp / "events.parquet"),
+    )
+    out = _OPS["ts_seasonal_decompose"].fn(spark, str(tmp)).toPandas()
+    # interior rows: hours 11 .. hours-13 (full centered windows)
+    assert len(out) == hours - 23
+    assert (out.trend == 61.5).all(), out.trend.unique()
+    for r in out.itertuples():
+        hod = (r.hb // 3_600_000_000) % 24
+        assert r.seasonal == hod - 11.5, (hod, r.seasonal)
+        assert r.residual == 0.0, r
+        assert r.v == 50 + hod
+
+
+def test_dedup_url_canonical_collapses_variants(spark, tmp_path_factory):
+    """The canonicalizer's contract on one document: the clean
+    trailing-slash form and the HTTP://WWW + tracking-params form
+    collapse into ONE canonical key (n_urls = 2), while the
+    real-query form keeps its ?q= and stands alone (n_urls = 1) —
+    scheme, host case, www, trailing slash, utm_*, and fragments are
+    all noise; real query parameters are signal."""
+    tmp = tmp_path_factory.mktemp("urlcanon")
+    sf = _write_docs(tmp, [(7, "hello world", "en", "src9")])
+    out = _OPS["dedup_url_canonical"].fn(spark, sf).toPandas()
+    got = dict(zip(out.canonical_url, out.n_urls))
+    assert got == {
+        "src9.example.org/en/7": 2,
+        "src9.example.org/en/7?q=11": 1,
+    }, got

@@ -52,9 +52,10 @@ def test_contract_shape():
     # (operators/extensions.py) + the r8 dedup modalities
     # (dedup_substring + its removal pass, dedup_ahash) + the r9
     # curation ops (operators/curation.py: text_perplexity_bigram,
-    # corpus_sample_temperature, dedup_phash, dedup_semantic). Pinned EXACT (==, not >=): both
+    # corpus_sample_temperature, dedup_phash, dedup_semantic,
+    # ts_seasonal_decompose, dedup_url_canonical). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 261
+    assert len(qs) == 263
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {

@@ -779,6 +779,11 @@ def test_joined_rows_obey_linear_law(spark, sf_dir):
     #   n_vec each) + the rank-bucketed pair join (<= 16 nbrs x 2
     #   bucket-copies per vector).
     assert joined("dedup_semantic") <= (2 * 8 + 16 * 2 + 8) * n_vec
+    # - ts_seasonal_decompose and dedup_url_canonical: NO joins at all
+    #   (bucket aggregate + two windows; construct + canonicalize +
+    #   one aggregate).
+    assert joined("ts_seasonal_decompose") == 0
+    assert joined("dedup_url_canonical") == 0
 
 
 def test_no_broadcast_hints_on_sf_scaling_tables():
