@@ -64,6 +64,7 @@ HEADLINE = [
     # r9 additions; first recorded r9, guard comparisons start r10:
     "ts_seasonal_decompose",    # bucket agg + two ordered-fold windows
     "dedup_url_canonical",      # parse_url canonicalize + one agg
+    "avro_scan_datasource",     # Python DataSource OCF path (vs mapInPandas)
 ]
 
 # Secondary tier: the iterative / blocked ops whose cost is dominated

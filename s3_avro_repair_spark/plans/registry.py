@@ -93,6 +93,8 @@ _OP_MODULES = [
     # LAST+2: r9 curation ops (bigram LM, temperature resample, pHash)
     # — never-attested at introduction, behind everything prior.
     "s3_avro_repair_spark.operators.curation",      # X (r9 curation ops)
+    # LAST+3: the Python DataSource packaging of the OCF codec.
+    "s3_avro_repair_spark.sources.avro_datasource", # E (DataSource V2)
 ]
 
 _loaded = False

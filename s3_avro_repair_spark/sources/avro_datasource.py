@@ -1,0 +1,215 @@
+"""Spark 4 Python DataSource packaging of the OCF codec.
+
+`spark.read.format("avro_ocf")` — the idiomatic DataSource-V2 surface
+for the repo's from-spec Avro container reader (`avro_codec.read_ocf`),
+complementing the binaryFile + mapInPandas pipeline ops
+(`avro_pipeline.read_avro_dir`): same codec, same strict semantics,
+but planned by Spark's DataSource machinery — the scan appears as a
+first-class source in the plan, schema inference is self-describing
+(read from the first container's embedded header, the reference's
+schema-agnostic posture — repair-avro.ts never declares a schema), and
+partition planning is explicit (one input partition per container
+file, the Avro analog of parquet row-group splits; block-level splits
+would need the sync-marker scan the salvage path already implements).
+
+Executors import this module by name (pyspark pickles the class), so
+on a real cluster the package ships as a wheel/zip via
+``spark.submit.pyFiles`` — the standard Python DataSource deployment.
+
+Reads yield pyarrow RecordBatches (the Arrow fast path of the Python
+DataSource API), never per-row pickled tuples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_PRIMITIVE_DDL = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bytes": "binary",
+    "string": "string",
+}
+
+
+def _field_ddl(ftype) -> str:
+    """Avro field type -> Spark DDL type, for header-driven schema
+    inference. Covers the primitive + nullable-union surface the
+    fixture fleets use; logical types surface as their raw carrier
+    (timestamp-micros -> long), matching read_ocf's raw decode.
+    Complex types (record/array/map/enum/fixed) require an explicit
+    reader schema — inference refuses rather than guessing."""
+    if isinstance(ftype, str):
+        try:
+            return _PRIMITIVE_DDL[ftype]
+        except KeyError:
+            raise ValueError(f"pass an explicit schema for type {ftype!r}")
+    if isinstance(ftype, list):  # union: nullable T is the only shape
+        branches = [b for b in ftype if b != "null"]
+        if len(branches) == 1:
+            return _field_ddl(branches[0])
+        raise ValueError("pass an explicit schema for multi-branch unions")
+    if isinstance(ftype, dict) and ftype.get("type") in _PRIMITIVE_DDL:
+        return _PRIMITIVE_DDL[ftype["type"]]  # logical type -> carrier
+    raise ValueError(f"pass an explicit schema for type {ftype!r}")
+
+
+def _list_container_files(path: str) -> list[str]:
+    """Driver-side listing (metadata only — the same class of listing
+    compact_small_files plans from)."""
+    from .. import fsio
+
+    fs, p = fsio.resolve(path)
+    import pyarrow.fs as pafs
+
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return [path]
+    sel = pafs.FileSelector(p, recursive=True)
+    return sorted(
+        f.path
+        for f in fs.get_file_info(sel)
+        if f.type == pafs.FileType.File and f.path.endswith(".avro")
+    )
+
+
+class AvroOCFReader(DataSourceReader):
+    def __init__(self, options, schema_ddl_names):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("avro_ocf: .load(path) is required")
+        self._out_names = schema_ddl_names
+
+    def partitions(self):
+        return [InputPartition(f) for f in _list_container_files(self._path)]
+
+    def read(self, partition):
+        import pandas as pd
+        import pyarrow as pa
+
+        from .. import fsio
+        from ..avro_codec import read_ocf
+
+        fs, p = fsio.resolve(partition.value)
+        with fs.open_input_file(p) as f:
+            data = f.read()
+        schema, recs = read_ocf(data)
+        names = [fl["name"] for fl in schema["fields"]]
+        if recs:
+            pdf = pd.DataFrame(recs, columns=names)
+            pdf.columns = self._out_names  # positional, like read_avro_dir
+            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+class AvroOCFDataSource(DataSource):
+    """format("avro_ocf"): strict OCF scan over a file or directory.
+
+    With an explicit ``.schema(ddl)`` the column NAMES are applied
+    positionally over the container's field order (the …_us rename
+    convention); without one, the schema is inferred from the first
+    container's embedded writer schema."""
+
+    @classmethod
+    def name(cls):
+        return "avro_ocf"
+
+    def schema(self):
+        from .. import fsio
+        from ..avro_codec import read_header
+
+        files = _list_container_files(self.options.get("path", ""))
+        if not files:
+            raise ValueError("avro_ocf: no container files under path")
+        fs, p = fsio.resolve(files[0])
+        with fs.open_input_file(p) as f:
+            head = f.read(64 * 1024)  # header is tiny; 64k covers any schema
+        schema, _codec, _sync, _pos = read_header(head)
+        cols = ", ".join(
+            f"{fl['name']} {_field_ddl(fl['type'])}" for fl in schema["fields"]
+        )
+        return cols
+
+    def reader(self, schema):
+        # `schema` is the resolved StructType (explicit or inferred);
+        # only its names matter — values are positional from the codec.
+        return AvroOCFReader(self.options, [f.name for f in schema.fields])
+
+
+def mount(spark) -> str:
+    """Register the data source on THIS session and return the format
+    name to use. Spark 4's Python data source registry is asymmetric:
+    the duplicate-name check on register() is process-global while
+    format lookup at read time is session-local — so once any session
+    has registered "avro_ocf", a sibling (newSession()) can neither
+    register that name nor resolve it. The cure: probe session-local
+    visibility via sessionState().dataSourceManager(), and when the
+    canonical name is globally taken but locally invisible, mint a
+    session-scoped alias subclass (cloudpickle ships the class by
+    value, so a dynamically-named subclass works on executors)."""
+    name = AvroOCFDataSource.name()
+    mgr = spark._jsparkSession.sessionState().dataSourceManager()
+    if mgr.dataSourceExists(name):
+        return name
+    try:
+        spark.dataSource.register(AvroOCFDataSource)
+        return name
+    except Exception as exc:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+    alias = f"{name}_{abs(spark._jsparkSession.hashCode())}"
+    if not mgr.dataSourceExists(alias):
+        alias_cls = type(
+            "AvroOCFDataSourceAlias",
+            (AvroOCFDataSource,),
+            {"name": classmethod(lambda cls: alias)},
+        )
+        spark.dataSource.register(alias_cls)
+    return alias
+
+
+# ---------------------------------------------------------------------------
+# registered op
+
+
+def _scan_oracle() -> str:
+    from .avro_pipeline import ORDERS_CLEAN_WHERE
+
+    return f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us
+    FROM orders WHERE {ORDERS_CLEAN_WHERE}
+    """
+
+
+def _register_ops():
+    import os
+
+    from pyspark.sql import DataFrame, SparkSession
+
+    from ..plans.registry import register
+
+    @register("avro_scan_datasource", group="E", oracle=_scan_oracle)
+    def avro_scan_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The avro_scan semantics through the Python DataSource API
+        (format("avro_ocf")) instead of binaryFile + mapInPandas: the
+        scan is a first-class DataSource-V2 source with explicit
+        one-partition-per-file planning and Arrow-batch reads, driven
+        by the SAME codec (avro_codec.read_ocf — strict, corruption
+        fails the task). Must hash-match the parquet ground truth
+        exactly like avro_scan: two read paths, one set of semantics.
+        Reference A7 (repair-avro.ts:106-116), re-expressed the way a
+        Spark user would actually mount a custom format."""
+        from .avro_pipeline import ORDERS_SPARK_SCHEMA, ensure_avro_fixtures
+
+        root = ensure_avro_fixtures(sf_dir)
+        return (
+            spark.read.format(mount(spark))
+            .schema(ORDERS_SPARK_SCHEMA)
+            .load(os.path.join(root, "clean"))
+        )
+
+
+_register_ops()
