@@ -901,13 +901,21 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" slice(t, {j}, greatest(size(t) - {k - 1}, 0)),"
             " (x, y) -> concat_ws(' ', x, y))"
         )
-    pos = d.select(
-        "doc_id",
-        F.posexplode(F.expr(shingle)).alias("p0", "s"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("long").alias("i"),  # 1-based, as the oracle
-        F.md5("s").alias("h"),
+    pos = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(shingle)).alias("p0", "s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("i"),  # 1-based, as oracle
+            F.md5("s").alias("h"),
+        )
+        # pos feeds the multi-doc digest aggregate AND the flag join —
+        # without a barrier the 8-chained shingle build + md5 runs
+        # twice (2.9s -> 2.2s at sf0.1; the digest relation is 3 small
+        # columns, far cheaper to materialize than to recompute).
+        .localCheckpoint(eager=False)
     )
     multi = (
         pos.groupBy("h")
@@ -1200,12 +1208,15 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" slice(t, {j}, greatest(size(t) - {k - 1}, 0)),"
             " (x, y) -> concat_ws(' ', x, y))"
         )
-    pos = d.select(
-        "doc_id", F.posexplode(F.expr(shingle)).alias("p0", "s")
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).cast("long").alias("i"),
-        F.md5("s").alias("h"),
+    pos = (
+        d.select("doc_id", F.posexplode(F.expr(shingle)).alias("p0", "s"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("long").alias("i"),
+            F.md5("s").alias("h"),
+        )
+        # same barrier as dedup_substring: pos feeds multi + flag join
+        .localCheckpoint(eager=False)
     )
     multi = (
         pos.groupBy("h")
