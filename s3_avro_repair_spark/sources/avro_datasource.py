@@ -22,7 +22,13 @@ DataSource API), never per-row pickled tuples.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _PRIMITIVE_DDL = {
     "boolean": "boolean",
@@ -76,18 +82,41 @@ def _list_container_files(path: str) -> list[str]:
     )
 
 
+def _pa_type(spark_type):
+    """Spark DataType -> exact pyarrow type. The Arrow batch MUST carry
+    the type Spark's vectorized accessor expects — pandas-default int64
+    against a declared int column breaks ArrowColumnVector.getInt (the
+    schema-drift arm's narrowed generation found exactly that)."""
+    import pyarrow as pa
+
+    m = {
+        "boolean": pa.bool_(),
+        "integer": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "binary": pa.binary(),
+        "string": pa.string(),
+    }
+    t = spark_type.typeName()
+    if t not in m:
+        raise ValueError(f"avro_ocf: unsupported read column type {t!r}")
+    return m[t]
+
+
 class AvroOCFReader(DataSourceReader):
-    def __init__(self, options, schema_ddl_names):
+    def __init__(self, options, out_fields):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("avro_ocf: .load(path) is required")
-        self._out_names = schema_ddl_names
+        # [(output name, pyarrow type)] — positional over the
+        # container's field order, like read_avro_dir
+        self._out = out_fields
 
     def partitions(self):
         return [InputPartition(f) for f in _list_container_files(self._path)]
 
     def read(self, partition):
-        import pandas as pd
         import pyarrow as pa
 
         from .. import fsio
@@ -99,9 +128,15 @@ class AvroOCFReader(DataSourceReader):
         schema, recs = read_ocf(data)
         names = [fl["name"] for fl in schema["fields"]]
         if recs:
-            pdf = pd.DataFrame(recs, columns=names)
-            pdf.columns = self._out_names  # positional, like read_avro_dir
-            yield pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+            # typed columns from python values: None -> null, ints
+            # exact at the declared width, no pandas dtype inference
+            arrays = [
+                pa.array([r[names[i]] for r in recs], type=t)
+                for i, (_n, t) in enumerate(self._out)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[n for n, _t in self._out]
+            )
 
 
 class AvroOCFDataSource(DataSource):
@@ -134,8 +169,120 @@ class AvroOCFDataSource(DataSource):
 
     def reader(self, schema):
         # `schema` is the resolved StructType (explicit or inferred);
-        # only its names matter — values are positional from the codec.
-        return AvroOCFReader(self.options, [f.name for f in schema.fields])
+        # names + types applied positionally over the codec's output.
+        return AvroOCFReader(
+            self.options,
+            [(f.name, _pa_type(f.dataType)) for f in schema.fields],
+        )
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            from .. import fsio
+
+            try:
+                fs, p = fsio.resolve(self.options.get("path", ""))
+                import pyarrow.fs as pafs
+
+                if fs.get_file_info(p).type == pafs.FileType.Directory:
+                    fs.delete_dir_contents(p)
+            except FileNotFoundError:
+                pass
+        return AvroOCFArrowWriter(self.options, _avro_schema_for(schema))
+
+
+
+
+# ---------------------------------------------------------------------------
+# write path
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "binary": "bytes",
+    "string": "string",
+}
+
+
+def _avro_schema_for(struct) -> dict:
+    """Spark StructType -> Avro record schema (write-side inverse of
+    _field_ddl): primitives map 1:1, nullable fields become
+    ["null", T] unions. Complex / decimal / timestamp columns demand
+    an explicit schema-driven pipeline (write_avro_dir) — refuse."""
+    fields = []
+    for f in struct.fields:
+        t = f.dataType.typeName()
+        try:
+            avro_t = _SPARK_TO_AVRO[t]
+        except KeyError:
+            raise ValueError(
+                f"avro_ocf write: unsupported column type {t!r}; use "
+                "avro_pipeline.write_avro_dir with an explicit schema"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", avro_t] if f.nullable else avro_t}
+        )
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+class _Commit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class AvroOCFArrowWriter(DataSourceArrowWriter):
+    """One container file per partition, committed atomically (tmp +
+    move — the reference's delete+rename swap, repair-avro.ts:152-153),
+    streamed straight out of Arrow batches."""
+
+    def __init__(self, options, avro_schema):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("avro_ocf: .save(path) is required")
+        self._schema = avro_schema
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from .. import fsio
+        from ..avro_codec import write_ocf
+
+        pid = TaskContext.get().partitionId()
+        fs, dpath = fsio.resolve(self._path)
+        fs.create_dir(dpath, recursive=True)
+        target = fsio.join(dpath, f"part-{pid:05d}.avro")
+
+        def recs():
+            for batch in iterator:
+                yield from batch.to_pylist()
+
+        path, n = fsio.atomic_stream_records(
+            target,
+            lambda out: write_ocf(
+                out, self._schema, recs(), block_records=1000
+            ),
+            filesystem=fs,
+        )
+        return _Commit(path, n)
+
+    def commit(self, messages):
+        # per-file atomic commit already happened; nothing global to do
+        return None
+
+    def abort(self, messages):
+        from .. import fsio
+
+        for m in messages:
+            if m is not None:
+                try:
+                    fs, p = fsio.resolve(m.path)
+                    fs.delete_file(p)
+                except Exception:
+                    pass
+
 
 
 def mount(spark) -> str:
@@ -150,6 +297,17 @@ def mount(spark) -> str:
     session-scoped alias subclass (cloudpickle ships the class by
     value, so a dynamically-named subclass works on executors)."""
     name = AvroOCFDataSource.name()
+    # The WRITE-path lookup (DataSource.lookupDataSourceV2) resolves
+    # Python data sources through the JVM's ACTIVE session, not the
+    # DataFrame's own — a sibling session whose registration is only
+    # local would read fine but fail .save() with
+    # DATA_SOURCE_NOT_FOUND. Pin this session active first.
+    try:
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        pass
     mgr = spark._jsparkSession.sessionState().dataSourceManager()
     if mgr.dataSourceExists(name):
         return name
@@ -188,8 +346,47 @@ def _register_ops():
     import os
 
     from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
 
     from ..plans.registry import register
+    from ..tables import table
+
+    @register(
+        "sink_avro_datasource",
+        group="E",
+        oracle="""
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND lang IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY lang
+        """,
+    )
+    def sink_avro_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """sink_avro's round-trip through the DataSource write path:
+        df.write.format("avro_ocf").mode("overwrite").save(dir) — one
+        atomically-committed container per partition streamed straight
+        out of Arrow batches (DataSourceArrowWriter), Avro schema
+        derived from the DataFrame's StructType (nullable fields
+        become ["null", T] unions), then read back through the SAME
+        format and aggregated against the parquet ground truth. The
+        full write+read codec round-trip must be value-exact."""
+        from .avro_pipeline import scratch_dir
+
+        out = scratch_dir("sink_avro_datasource")
+        d = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang", "n_chars")
+            .na.drop()
+        )
+        fmt = mount(spark)
+        d.write.format(fmt).mode("overwrite").save(out)
+        back = spark.read.format(fmt).load(out)
+        return back.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
 
     @register("avro_scan_datasource", group="E", oracle=_scan_oracle)
     def avro_scan_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -93,3 +93,36 @@ def test_listing_single_file(tmp_path):
     f = os.path.join(d, "part-0.avro")
     assert _list_container_files(f) == [f]
     assert len(_list_container_files(d)) == 1
+
+
+def test_write_read_roundtrip_with_nulls(spark, tmp_path):
+    """The DataSource write path: nullable columns become
+    ["null", T] unions, NULL cells round-trip, one container per
+    partition, and mode("overwrite") replaces prior output."""
+    from s3_avro_repair_spark.sources.avro_datasource import mount
+
+    d = str(tmp_path / "out")
+    fmt = mount(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -0.25)],
+        "k long, s string, x double",
+    ).repartition(2)
+    df.write.format(fmt).mode("overwrite").save(d)
+    files = glob.glob(os.path.join(d, "*.avro"))
+    assert len(files) == 2
+    back = spark.read.format(fmt).load(d)
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "a", 1.5), (2, None, None), (3, "c", -0.25)
+    }
+    # overwrite replaces, never appends
+    df.limit(1).coalesce(1).write.format(fmt).mode("overwrite").save(d)
+    assert spark.read.format(fmt).load(d).count() == 1
+
+
+def test_write_refuses_complex_columns(spark, tmp_path):
+    from s3_avro_repair_spark.sources.avro_datasource import mount
+
+    fmt = mount(spark)
+    df = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with pytest.raises(Exception, match="unsupported column type"):
+        df.write.format(fmt).mode("overwrite").save(str(tmp_path / "o"))

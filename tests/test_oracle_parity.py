@@ -55,7 +55,7 @@ def test_contract_shape():
     # corpus_sample_temperature, dedup_phash, dedup_semantic,
     # ts_seasonal_decompose, dedup_url_canonical). Pinned EXACT (==, not >=): both
     # silent de-registration and silent growth must fail here.
-    assert len(qs) == 264
+    assert len(qs) == 265
     # rows-only ops are the enumerated exceptions, nothing silently more
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {

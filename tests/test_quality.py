@@ -146,7 +146,7 @@ _EAGER_OPS = {
     "dedup_clusters", "dedup_clusters_bigstar", "dedup_canonical",
     "graph_pagerank", "graph_triangles",
     "join_dpp", "compact_small_files", "avro_rewrite", "avro_compact",
-    "sink_parquet", "sink_avro", "sink_bucketed",
+    "sink_parquet", "sink_avro", "sink_bucketed", "sink_avro_datasource",
     "join_bucketed_tables",
 }
 
