@@ -122,6 +122,11 @@ class AvroOCFReader(DataSourceReader):
         from .. import fsio
         from ..avro_codec import read_ocf
 
+        if partition is None:
+            # partitions() returned [] (no container files — e.g. a
+            # sink round-trip over an empty input): Spark still issues
+            # one read(None) call; an empty scan is the answer.
+            return
         fs, p = fsio.resolve(partition.value)
         with fs.open_input_file(p) as f:
             data = f.read()
@@ -382,7 +387,15 @@ def _register_ops():
         )
         fmt = mount(spark)
         d.write.format(fmt).mode("overwrite").save(out)
-        back = spark.read.format(fmt).load(out)
+        # Explicit read-back schema: an EMPTY input writes no container
+        # files (zero tasks), and header-driven inference rightly
+        # refuses an empty directory — the explicit schema makes the
+        # empty round-trip a plain empty scan instead.
+        back = (
+            spark.read.format(fmt)
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .load(out)
+        )
         return back.groupBy("lang").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("n_chars").cast("long").alias("total_chars"),
