@@ -25,6 +25,11 @@ import os
 import sys
 
 import pandas as pd
+from pyspark.sql import functions as F
+
+# Display bound for the non-healthy detail table: a CLI prints a page,
+# not a fleet. The per-status counters always cover the full listing.
+_DETAIL_ROWS = 1000
 
 
 def _build_report(spark, path: str, replace: bool, out_dir: str | None):
@@ -126,10 +131,31 @@ def main(argv: list[str] | None = None) -> int:
     if report is None:
         print(f"no .avro files under {args.path}", file=sys.stderr)
         return 1
-    rows = report.toPandas().sort_values("file")
-    with pd.option_context("display.max_rows", None, "display.width", 200):
-        print(rows.to_string(index=False))
-    counts = rows["status"].value_counts().to_dict()
+    # Aggregate counts on the EXECUTORS; only the non-healthy detail
+    # rows (bounded display slice) reach the driver — a million-file
+    # fleet must not be collected to print three counters (r7 note).
+    # Persist first: the pipeline REPAIRS files as a side effect, and
+    # the counts + detail actions must not run it twice.
+    report = report.persist()
+    counts = {
+        r["status"]: r["n"]
+        for r in report.groupBy("status").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    detail = (
+        report.filter(F.col("status") != "healthy")
+        .sort("file")
+        .limit(_DETAIL_ROWS)
+        .toPandas()
+    )
+    if len(detail):
+        with pd.option_context("display.max_rows", None, "display.width", 200):
+            print(detail.to_string(index=False))
+        shown_bad = len(detail)
+        n_bad = n_files - counts.get("healthy", 0)
+        if n_bad > shown_bad:
+            print(f"... ({n_bad - shown_bad} more non-healthy files)")
     print(
         f"\n{n_files} files: "
         + ", ".join(f"{counts.get(s, 0)} {s}" for s in ("healthy", "repaired", "unrepairable"))

@@ -41,3 +41,26 @@ def test_cli_repairs_and_revalidates(spark, sf_dir, tmp_path):
     # healthy and unrepairable files are never rewritten
     written = {p.name for p in outdir.iterdir()}
     assert written == set(rows[rows.status == "repaired"].index)
+
+
+def test_cli_main_prints_bounded_detail(spark, sf_dir, tmp_path, capsys):
+    """main(): the detail table shows only NON-healthy rows (bounded
+    slice), the counters cover the full listing, and the report
+    pipeline — which repairs files as a side effect — is persisted so
+    the two display actions don't run it twice."""
+    from s3_avro_repair_spark.cli import main
+
+    root = ensure_avro_fixtures(sf_dir)
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    shutil.copytree(os.path.join(root, "corrupt"), indir)
+    outdir.mkdir()
+    rc = main(["--path", str(indir), "--out", str(outdir)])
+    outtxt = capsys.readouterr().out
+    assert rc == 2  # one destroyed header in the corruption fixture
+    assert "8 files:" in outtxt
+    assert "unrepairable" in outtxt
+    # healthy rows never reach the detail table
+    for line in outtxt.splitlines():
+        if line.strip().startswith("part-") and " healthy" in line:
+            raise AssertionError(f"healthy row in detail: {line}")
