@@ -81,12 +81,19 @@ def atomic_stream_records(
     path: str,
     write_fn,
     filesystem: pafs.FileSystem | None = None,
+    tmp_suffix: str = ".tmp",
 ) -> tuple[str, int]:
     """Stream-write via ``write_fn(stream) -> n_records`` and commit
     ``path`` only if n_records > 0 (empty partitions leave nothing
-    behind). Returns ``(fs_native_path, n_records)``."""
+    behind). Returns ``(fs_native_path, n_records)``.
+
+    ``tmp_suffix`` lets concurrent attempts of the SAME task (Spark
+    speculative execution, a zombie task overlapping its retry) write
+    disjoint temp files — pass an attempt-unique suffix so a failing
+    attempt's cleanup can never delete the healthy attempt's bytes and
+    the final move is always of a completely-written file."""
     fs_, p = resolve(path, filesystem)
-    tmp = p + ".tmp"
+    tmp = p + tmp_suffix
     try:
         with fs_.open_output_stream(tmp) as out:
             n = write_fn(out)

@@ -8,9 +8,14 @@ but planned by Spark's DataSource machinery — the scan appears as a
 first-class source in the plan, schema inference is self-describing
 (read from the first container's embedded header, the reference's
 schema-agnostic posture — repair-avro.ts never declares a schema), and
-partition planning is explicit (one input partition per container
-file, the Avro analog of parquet row-group splits; block-level splits
-would need the sync-marker scan the salvage path already implements).
+partition planning is explicit: BYTE-RANGE splits over each container
+(metadata-only planning from the file listing's sizes), with each
+task resyncing to the first 16-byte sync marker at/after its range
+start and decoding blocks whose header starts inside the range — the
+Hadoop/Avro splittable-input idiom, so one 10 GB container is
+size/split tasks, not one. Reads stream: bounded chunked reads,
+one RecordBatch yielded per ~`_BATCH_ROWS` records, never a
+whole-file buffer (the r9 verdict's one flagged scale-killer).
 
 Executors import this module by name (pyspark pickles the class), so
 on a real cluster the package ships as a wheel/zip via
@@ -66,6 +71,12 @@ def _field_ddl(ftype) -> str:
 def _list_container_files(path: str) -> list[str]:
     """Driver-side listing (metadata only — the same class of listing
     compact_small_files plans from)."""
+    return [p for p, _sz in _list_container_files_sized(path)]
+
+
+def _list_container_files_sized(path: str) -> list[tuple[str, int]]:
+    """(path, size) pairs — sizes come free with the listing, and are
+    all the split planner needs (no data bytes read at plan time)."""
     from .. import fsio
 
     fs, p = fsio.resolve(path)
@@ -73,10 +84,10 @@ def _list_container_files(path: str) -> list[str]:
 
     info = fs.get_file_info(p)
     if info.type == pafs.FileType.File:
-        return [path]
+        return [(path, info.size)]
     sel = pafs.FileSelector(p, recursive=True)
     return sorted(
-        f.path
+        (f.path, f.size)
         for f in fs.get_file_info(sel)
         if f.type == pafs.FileType.File and f.path.endswith(".avro")
     )
@@ -104,6 +115,17 @@ def _pa_type(spark_type):
     return m[t]
 
 
+# Split planning default: the same 128 MB granularity as
+# spark.sql.files.maxPartitionBytes' default; override per-read with
+# .option("split_size_bytes", n) (tests use small values to exercise
+# multi-split containers at fixture scale). Batch size bounds per-task
+# memory: ~rows held between yields, plus at most one decompressed
+# block (MAX_BLOCK_BYTES-capped by the codec).
+_SPLIT_BYTES_DEFAULT = 128 * 1024 * 1024
+_BATCH_ROWS = 8192
+_CHUNK = 4 * 1024 * 1024
+
+
 class AvroOCFReader(DataSourceReader):
     def __init__(self, options, out_fields):
         self._path = options.get("path")
@@ -112,36 +134,149 @@ class AvroOCFReader(DataSourceReader):
         # [(output name, pyarrow type)] — positional over the
         # container's field order, like read_avro_dir
         self._out = out_fields
+        self._split = int(
+            options.get("split_size_bytes", _SPLIT_BYTES_DEFAULT)
+        )
+        if self._split <= 0:
+            raise ValueError("avro_ocf: split_size_bytes must be positive")
 
     def partitions(self):
-        return [InputPartition(f) for f in _list_container_files(self._path)]
+        """Byte-range splits from the listing's sizes alone — no data
+        read at plan time. Block boundaries are found at READ time by
+        each task resyncing on the container's sync marker (the
+        splittable-format idiom), so a skewed fleet of containers plans
+        into even ~split-sized tasks instead of one task per file."""
+        parts = []
+        for f, size in _list_container_files_sized(self._path):
+            start = 0
+            while True:
+                end = min(start + self._split, size)
+                parts.append(InputPartition((f, start, end, size)))
+                start = end
+                if start >= size:
+                    break
+        return parts
 
     def read(self, partition):
         import pyarrow as pa
 
         from .. import fsio
-        from ..avro_codec import read_ocf
+        from ..avro_codec import (
+            SYNC_SIZE,
+            CorruptBlock,
+            CorruptHeader,
+            _decode_block,
+            _decompress,
+            _read_long,
+            read_header,
+        )
 
         if partition is None:
             # partitions() returned [] (no container files — e.g. a
             # sink round-trip over an empty input): Spark still issues
             # one read(None) call; an empty scan is the answer.
             return
-        fs, p = fsio.resolve(partition.value)
-        with fs.open_input_file(p) as f:
-            data = f.read()
-        schema, recs = read_ocf(data)
-        names = [fl["name"] for fl in schema["fields"]]
-        if recs:
+        path, start, end, fsize = partition.value
+        fs, p = fsio.resolve(path)
+        names = None
+        pending: list = []
+
+        def make_batch():
             # typed columns from python values: None -> null, ints
             # exact at the declared width, no pandas dtype inference
             arrays = [
-                pa.array([r[names[i]] for r in recs], type=t)
+                pa.array([r[names[i]] for r in pending], type=t)
                 for i, (_n, t) in enumerate(self._out)
             ]
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 arrays, names=[n for n, _t in self._out]
             )
+
+        with fs.open_input_file(p) as f:
+            # Header is tiny (schema JSON + codec + sync); read it with
+            # a growing bounded prefix, never the whole file.
+            head = f.read(min(64 * 1024, fsize))
+            while True:
+                try:
+                    schema, codec, sync, hdr_end = read_header(head)
+                    break
+                except CorruptHeader:
+                    if len(head) >= fsize:
+                        raise
+                    head += f.read(min(len(head), fsize - len(head)))
+            names = [fl["name"] for fl in schema["fields"]]
+
+            # Locate the first block whose header offset lies in
+            # [start, end): the first split starts right after the
+            # header; later splits scan for a sync marker ENDING at an
+            # offset >= start (the sync may begin 16 bytes before the
+            # range, owned by the previous split's last block).
+            buf = b""
+            base = 0  # absolute offset of buf[0]
+            pos = 0   # absolute offset of the next block header
+
+            def ensure(abs_to: int) -> None:
+                # grow buf until it covers [base, abs_to) or EOF; trim
+                # consumed prefix so memory stays O(chunk + one block)
+                nonlocal buf, base
+                if pos - base > _CHUNK:
+                    buf = buf[pos - base :]
+                    base = pos
+                while base + len(buf) < abs_to:
+                    chunk = f.read(max(_CHUNK, abs_to - base - len(buf)))
+                    if not chunk:
+                        break
+                    buf += chunk
+
+            if start <= hdr_end:
+                pos = hdr_end
+                f.seek(pos)
+                base = pos
+            else:
+                scan_from = start - SYNC_SIZE
+                f.seek(scan_from)
+                base = scan_from
+                found = -1
+                while found < 0:
+                    ensure(base + len(buf) + _CHUNK)
+                    found = buf.find(sync, max(0, pos - base))
+                    if found >= 0:
+                        sync_end = base + found + SYNC_SIZE
+                        if sync_end >= end:
+                            return  # first block belongs to the next split
+                        pos = sync_end
+                        break
+                    if base + len(buf) >= fsize:
+                        return  # no sync at/after start: nothing ours
+                    # keep the last 15 bytes: a marker may straddle reads
+                    pos = base + len(buf) - (SYNC_SIZE - 1)
+
+            while pos < end:
+                ensure(pos + 20)  # two varints are <= 10 bytes each
+                try:
+                    count, q = _read_long(buf, pos - base)
+                    size, q = _read_long(buf, q)
+                except (CorruptBlock, IndexError) as exc:
+                    raise CorruptBlock(f"block@{pos}: {exc}") from exc
+                payload_at = base + q
+                if count < 0 or size < 0 or payload_at + size + SYNC_SIZE > fsize:
+                    raise CorruptBlock(f"block@{pos}: bad block structure")
+                ensure(payload_at + size + SYNC_SIZE)
+                payload = _decompress(
+                    buf[payload_at - base : payload_at - base + size], codec
+                )
+                pending.extend(_decode_block(payload, schema, count))
+                tail = buf[
+                    payload_at - base + size : payload_at - base + size + SYNC_SIZE
+                ]
+                if tail != sync:
+                    raise CorruptBlock(f"block@{pos}: sync marker damaged")
+                pos = payload_at + size + SYNC_SIZE
+                if len(pending) >= _BATCH_ROWS:
+                    yield make_batch()
+                    pending = []
+        if pending:
+            yield make_batch()
 
 
 class AvroOCFDataSource(DataSource):
@@ -189,7 +324,16 @@ class AvroOCFDataSource(DataSource):
                 import pyarrow.fs as pafs
 
                 if fs.get_file_info(p).type == pafs.FileType.Directory:
-                    fs.delete_dir_contents(p)
+                    # Clear only prior container files (and stale temps
+                    # of theirs) — an unrelated file under the path is
+                    # not ours to delete (ADVICE r9).
+                    sel = pafs.FileSelector(p, recursive=True)
+                    for info in fs.get_file_info(sel):
+                        if info.type == pafs.FileType.File and (
+                            info.path.endswith(".avro")
+                            or ".avro.tmp" in info.path
+                        ):
+                            fs.delete_file(info.path)
             except FileNotFoundError:
                 pass
         return AvroOCFArrowWriter(self.options, _avro_schema_for(schema))
@@ -255,7 +399,8 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
         from .. import fsio
         from ..avro_codec import write_ocf
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fs, dpath = fsio.resolve(self._path)
         fs.create_dir(dpath, recursive=True)
         target = fsio.join(dpath, f"part-{pid:05d}.avro")
@@ -264,12 +409,17 @@ class AvroOCFArrowWriter(DataSourceArrowWriter):
             for batch in iterator:
                 yield from batch.to_pylist()
 
+        # Attempt-unique temp name: two live attempts of one task
+        # (speculation / zombie overlap) must never share a temp file
+        # — each writes its own and the commit move is last-writer-
+        # wins of a COMPLETE file (ADVICE r9).
         path, n = fsio.atomic_stream_records(
             target,
             lambda out: write_ocf(
                 out, self._schema, recs(), block_records=1000
             ),
             filesystem=fs,
+            tmp_suffix=f".tmp-{ctx.taskAttemptId()}",
         )
         return _Commit(path, n)
 

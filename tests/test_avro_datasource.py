@@ -126,3 +126,86 @@ def test_write_refuses_complex_columns(spark, tmp_path):
     df = spark.createDataFrame([([1, 2],)], "a array<int>")
     with pytest.raises(Exception, match="unsupported column type"):
         df.write.format(fmt).mode("overwrite").save(str(tmp_path / "o"))
+
+
+def test_block_range_splits_byte_identical(spark, tmp_path):
+    """A single large container plans as N>1 byte-range partitions
+    (sync-marker resync at read time) and returns exactly the rows of
+    the whole-file read — the r10 splittable-reader contract. Small
+    block_records forces many blocks so ranges land mid-file, mid-block
+    and mid-sync; three split sizes sweep the boundary alignments."""
+    d = tmp_path / "big"
+    d.mkdir()
+    recs = [
+        {"k": i, "s": f"v{i}" if i % 3 else None, "x": i / 8.0}
+        for i in range(5000)
+    ]
+    raw = write_ocf_bytes(SCHEMA, recs, block_records=50)  # ~100 blocks
+    (d / "one.avro").write_bytes(raw)
+    fmt = mount(spark)
+    base = (
+        spark.read.format(fmt).schema("k long, s string, x double")
+        .load(str(d))
+    )
+    want = sorted(map(tuple, base.collect()))
+    assert base.rdd.getNumPartitions() == 1  # default split >= file size
+    for split in (4096, 1111, 333):
+        df = (
+            spark.read.format(fmt)
+            .schema("k long, s string, x double")
+            .option("split_size_bytes", split)
+            .load(str(d))
+        )
+        assert df.rdd.getNumPartitions() == -(-len(raw) // split)
+        assert sorted(map(tuple, df.collect())) == want
+
+
+def test_block_range_split_streams_bounded_batches(spark, tmp_path):
+    """read() must yield MULTIPLE bounded RecordBatches for a range
+    holding more than _BATCH_ROWS records — never one whole-range
+    batch (the r9 verdict's whole-file-buffer flag). Drive the reader
+    directly so the batch boundaries are observable."""
+    from s3_avro_repair_spark.sources import avro_datasource as ds
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    recs = [{"k": i, "s": None, "x": 0.0} for i in range(1000)]
+    (d / "one.avro").write_bytes(write_ocf_bytes(SCHEMA, recs, block_records=10))
+    import pyarrow as pa
+
+    reader = ds.AvroOCFReader(
+        {"path": str(d)},
+        [("k", pa.int64()), ("s", pa.string()), ("x", pa.float64())],
+    )
+    old = ds._BATCH_ROWS
+    ds._BATCH_ROWS = 64
+    try:
+        parts = reader.partitions()
+        assert len(parts) == 1
+        batches = list(reader.read(parts[0]))
+    finally:
+        ds._BATCH_ROWS = old
+    assert len(batches) >= 1000 // 74  # 64-row floor + <=1 trailing block
+    assert all(b.num_rows <= 64 + 10 for b in batches)
+    assert sum(b.num_rows for b in batches) == 1000
+
+
+def test_corruption_fails_split_scans_too(spark, tmp_path):
+    """Strictness survives splitting: a torn payload byte fails the
+    scan at every split size, exactly like the whole-file read."""
+    from s3_avro_repair_spark.avro_codec import block_spans
+
+    d = tmp_path / "torn"
+    d.mkdir()
+    recs = [{"k": i, "s": "a", "x": 1.0} for i in range(500)]
+    raw = bytearray(write_ocf_bytes(SCHEMA, recs, block_records=25))
+    spans = block_spans(bytes(raw))
+    _, pstart, psize, _end = spans[len(spans) // 2]
+    raw[pstart + psize] ^= 0xFF  # tear a mid-file sync marker
+    (d / "one.avro").write_bytes(bytes(raw))
+    for split in (None, 1024):
+        rd = spark.read.format(mount(spark)).schema("k long, s string, x double")
+        if split:
+            rd = rd.option("split_size_bytes", split)
+        with pytest.raises(Exception):
+            rd.load(str(d)).count()
