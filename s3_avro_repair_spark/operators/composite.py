@@ -1342,15 +1342,28 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.1
         )
     ).select("rid", "doc_id", "lang", "t")
-    segs = gated.select(
-        "rid",
-        "doc_id",
-        "lang",
-        F.expr(
-            "posexplode(transform(sequence(0, cast(ceil(size(t) / 8.0) as int) - 1),"
-            " i -> array_join(slice(t, i*8 + 1, 8), ' ')))"
-        ).alias("chunk", "seg"),
-    ).withColumn("h", F.md5("seg"))
+    segs = (
+        gated.select(
+            "rid",
+            "doc_id",
+            "lang",
+            F.expr(
+                "posexplode(transform(sequence(0, cast(ceil(size(t) / 8.0) as int) - 1),"
+                " i -> array_join(slice(t, i*8 + 1, 8), ' ')))"
+            ).alias("chunk", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+        # Materialization barrier (the r6 pattern): segs feeds BOTH the
+        # boilerplate vote and the join-back — without it the scan +
+        # trigram gate + segment explode execute once per branch (two
+        # Scan nodes in the r10 before-plan; 2.20s -> 1.48s at sf0.1).
+        # The checkpoint holds survivors only (the gate decimates
+        # first), so the materialized bytes are the decimated corpus,
+        # not the input. It also pins monotonically_increasing_id's
+        # rid to ONE evaluation, removing a latent cross-branch
+        # nondeterminism.
+        .localCheckpoint(eager=False)
+    )
     bp = (
         segs.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("ndocs"))

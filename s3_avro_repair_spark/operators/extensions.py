@@ -1048,12 +1048,18 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ascii(substr(h, 2*j+1, 1))").alias("p"),
         )
     )
-    st = px.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("m"), F.sum("p").alias("s")
+    # Per-doc (m, s) as a WINDOW over px, not groupBy + join-back: one
+    # hash exchange of px by doc_id replaces the r9 shape's aggregate
+    # exchange + join exchange AND stops px's scan+explode executing
+    # once per branch (r10; the downstream groupBys then reuse the
+    # doc_id partitioning — zero further exchanges until the band
+    # window). Same integer arithmetic, same rows.
+    wdoc = Window.partitionBy("doc_id")
+    pxm = px.withColumn("m", F.count(F.lit(1)).over(wdoc)).withColumn(
+        "s", F.sum("p").over(wdoc)
     )
     bands = (
-        px.join(st, "doc_id")
-        .groupBy("doc_id", F.expr("j DIV 16").alias("band_no"))
+        pxm.groupBy("doc_id", F.expr("j DIV 16").alias("band_no"))
         .agg(
             F.sum(
                 F.expr(
@@ -1087,7 +1093,11 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("band_no", "bv").orderBy("doc_id")
         ),
-    )
+        # Materialization barrier: ranked feeds BOTH sides of the
+        # pairing self-join; without it the whole signature pipeline
+        # executes twice (4 scans of documents in the r10 before-plan).
+        # 4 small ints per (doc, band) — tiny at any scale.
+    ).localCheckpoint(eager=False)
     nbr = _AHASH_NBR
     a = ranked.select(
         F.col("doc_id").alias("id_a"),

@@ -425,6 +425,17 @@ def _ngram_candidates(
             ).alias("shingles"),
         )
         .withColumn("n", F.size("shingles"))
+        # Materialization barrier: sh_arr feeds the rare-shingle
+        # explode AND both sides of the stage-2 array join-back — the
+        # r9 shape tokenized + shingled the corpus once per branch
+        # (4 scans in the r10 before-plan; 2.13s -> 1.73s at sf0.1).
+        # Trade (measured, documented): the checkpoint holds the
+        # per-doc DISTINCT shingle arrays (~3x text bytes) on executor
+        # disk once, against re-running scan + zip_with shingling +
+        # array_distinct three more times; the r6 probe that rejected
+        # materializing EXPLODED shingle rows does not apply to the
+        # array relation, which is one row per doc.
+        .localCheckpoint(eager=False)
     )
     rare = (
         sh_arr.select(

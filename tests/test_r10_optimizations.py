@@ -5,6 +5,7 @@ the oracle (which only sees results) stays green.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from s3_avro_repair_spark.plans.registry import load_all
@@ -50,3 +51,17 @@ def test_udtf_apply_in_pandas_matches_jvm_window(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name", ["q_corpus_pipeline", "dedup_ahash", "dedup_ngram_jaccard"]
+)
+def test_branching_pipelines_scan_their_corpus_once(name, spark, sf_dir):
+    """These ops feed one expensive relation into multiple plan
+    branches; the r10 materialization barriers make the corpus scan +
+    tokenize/signature work execute ONCE (before: 2-4 parquet scans of
+    documents per plan). A refactor that drops the localCheckpoint
+    reintroduces the duplicate scans and fails here."""
+    df = _OPS[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("documents.parquet") <= 1, name
