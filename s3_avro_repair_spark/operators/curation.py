@@ -575,7 +575,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "transform(dv, x -> cast(floor(127 * x / scale + 0.5) as int))"
         ).alias("v"),
-    )
+        # Materialization barrier (r10): q feeds the init centroids,
+        # every Lloyd round's assignment stream AND each round's
+        # centroid-update subtree — without it the scan + double-cast
+        # + quantize transform re-runs ~4x inside the ranked
+        # checkpoint's one materialization (3.0-3.4s -> 2.7s at
+        # sf0.1). One int8-code row per vector — tiny at any scale.
+    ).localCheckpoint(eager=False)
     cents = q.filter(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )

@@ -21,6 +21,7 @@ from ..tables import table
 
 _ITERS = 10
 _DAMP = 0.85
+_CKPT_EVERY = 5  # lineage-cut cadence: jobs per power iteration window
 
 # Same blocked candidate generation as dedup_clusters (lifecycle.py) —
 # bounded pairs, never all-pairs. The cosine threshold is the graph's
@@ -149,7 +150,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = nodes.select(
         F.col("src").alias("vec_id"), F.lit(1.0 / n).alias("score")
     ).localCheckpoint(eager=True)
-    for _ in range(_ITERS):
+    for i in range(_ITERS):
         contrib = edges.join(
             scores.withColumnRenamed("vec_id", "src"), "src"
         ).select("dst", (F.col("score") / F.col("deg")).alias("c"))
@@ -162,8 +163,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint every _CKPT_EVERY rounds, not every round (r10):
+        # each eager checkpoint is one sequential job, and a 10-job
+        # chain over the tiny score relation is pure scheduling floor
+        # (3.1s -> 2.2s at sf0.1). Lineage within a window is a linear
+        # chain of <= _CKPT_EVERY join+agg rounds consumed exactly
+        # once — no branch re-execution — and failure recomputation
+        # stays bounded by the window.
+        if (i + 1) % _CKPT_EVERY == 0 or i == _ITERS - 1:
+            scores = scores.localCheckpoint(eager=True)
     return scores.select("vec_id", F.round("score", 6).alias("score"))
 
 

@@ -15,7 +15,7 @@ CTE transitive closure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exprs import dec2
@@ -235,13 +235,19 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         neighbor = edges.join(
             labels, edges.dst == labels.vec_id
         ).select(F.col("src").alias("vec_id"), "cluster_id")
+        # The convergence probe rides the checkpoint's own job as an
+        # observed metric (CollectMetrics fires under eager
+        # localCheckpoint) — the r9 shape paid a second job per round
+        # just to read the sum back (r10).
+        obs = Observation()
         labels = (
             labels.unionByName(neighbor)
             .groupBy("vec_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .observe(obs, F.sum("cluster_id").alias("s"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -455,14 +461,22 @@ def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_sig = None
     for _ in range(12):
-        edges = star(star(edges, large=True), large=False).localCheckpoint(
-            eager=True
+        # Convergence signature observed on the checkpoint job itself
+        # (no second read-back job per round — r10, same as
+        # _cluster_labels).
+        obs = Observation()
+        edges = (
+            star(star(edges, large=True), large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("src").alias("ss"),
+                F.sum("dst").alias("sd"),
+            )
+            .localCheckpoint(eager=True)
         )
-        sig = tuple(
-            edges.agg(
-                F.count(F.lit(1)), F.sum("src"), F.sum("dst")
-            ).first()
-        )
+        got = obs.get
+        sig = (got["n"], got["ss"], got["sd"])
         if sig == prev_sig:
             break
         prev_sig = sig
