@@ -412,7 +412,14 @@ def read_avro_dir(
             for content in pdf["content"]:
                 _, recs = reader(bytes(content))
                 if recs:
-                    out = pd.DataFrame(recs, columns=names)
+                    # dict-of-columns, not pd.DataFrame(list_of_dicts):
+                    # the row-oriented constructor re-infers per cell
+                    # and measured ~12% of the whole scan op (r10);
+                    # the column build is one list comprehension per
+                    # field over the decoder's dicts.
+                    out = pd.DataFrame(
+                        {n: [r[n] for r in recs] for n in names}
+                    )
                     if transform is not None:
                         out = transform(out)
                     out.columns = out_names
