@@ -136,7 +136,13 @@ def main(argv: list[str] | None = None) -> int:
     # fleet must not be collected to print three counters (r7 note).
     # Persist first: the pipeline REPAIRS files as a side effect, and
     # the counts + detail actions must not run it twice.
-    report = report.persist()
+    # MEMORY_AND_DISK, not the MEMORY_ONLY default: an evicted
+    # partition would be RECOMPUTED by the second action, re-running
+    # the repair side effect the comment above promises cannot happen
+    # (ADVICE r9); disk-backed persistence makes the guarantee real.
+    from pyspark import StorageLevel
+
+    report = report.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["status"]: r["n"]
         for r in report.groupBy("status").count().withColumnRenamed(
@@ -149,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         .limit(_DETAIL_ROWS)
         .toPandas()
     )
+    report.unpersist()
     if len(detail):
         with pd.option_context("display.max_rows", None, "display.width", 200):
             print(detail.to_string(index=False))

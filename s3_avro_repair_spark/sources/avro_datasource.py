@@ -452,6 +452,17 @@ def mount(spark) -> str:
     session-scoped alias subclass (cloudpickle ships the class by
     value, so a dynamically-named subclass works on executors)."""
     name = AvroOCFDataSource.name()
+    # Classic-session only: the registry probe and active-session pin
+    # below need the JVM handle. Under Spark Connect (_jsparkSession
+    # absent) fail fast with a clear error instead of letting the
+    # mgr call below throw an AttributeError mid-mount (ADVICE r9).
+    if getattr(spark, "_jsparkSession", None) is None:
+        raise RuntimeError(
+            "avro_ocf: mount() requires a classic SparkSession (the "
+            "Spark 4 Python data source registry workaround probes "
+            "sessionState via the JVM handle, absent under Spark "
+            "Connect)"
+        )
     # The WRITE-path lookup (DataSource.lookupDataSourceV2) resolves
     # Python data sources through the JVM's ACTIVE session, not the
     # DataFrame's own — a sibling session whose registration is only
