@@ -1244,27 +1244,43 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("i").alias("s"), (F.max("i") + (k - 1)).alias("e"))
         .filter(F.col("e") - F.col("s") + 1 >= _SUBSTR_MIN)
     )
-    cov = spans.select(
+    # Removal is DOC-level, not token-level (r10): spans collapse to a
+    # small per-doc array, one join attaches them to the token arrays,
+    # and covered tokens are cut with in-array HOFs. The r9 shape
+    # posexploded every corpus token and shipped it through a
+    # positional anti-join plus a collect_list+sort-of-structs
+    # reconstruction — two TOKEN-level corpus shuffles where compact
+    # per-row arrays suffice (the 10x census had this op as its
+    # wall-clock maximum). The groupBy below still merges physical
+    # COPIES of a doc_id (at-least-once delivery; the oracle's toks
+    # CTE spans all copies — production-shard-pinned semantics), but
+    # it now shuffles one kept-token array per row instead of one row
+    # per token, and array_sort over (i, tok) structs reproduces the
+    # old sorted interleave exactly. Per-token span scan is bounded by
+    # spans-per-doc <= len/16 — document-length-bounded, like the
+    # island window it replaces.
+    sp_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sp")
+    )
+    per_row = d.join(sp_arr, "doc_id", "left").select(
         "doc_id",
-        F.explode(F.sequence(F.col("s"), F.col("e"))).alias("p"),
+        F.expr(
+            "filter(transform(t, (tok, j0) ->"
+            " struct(CAST(j0 + 1 AS BIGINT) AS i, tok AS tok)),"
+            " p -> sp IS NULL OR NOT coalesce("
+            "exists(sp, r -> r.s <= p.i AND p.i <= r.e), false))"
+        ).alias("kept"),
     )
-    toks = d.select(
-        "doc_id", F.posexplode(F.col("t")).alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "tok")
-    kept = toks.join(
-        cov,
-        (toks["doc_id"] == cov["doc_id"]) & (toks["i"] == cov["p"]),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(sort_array(collect_list(struct(i, tok))),"
-                " x -> x.tok)"
+    agg = (
+        per_row.groupBy("doc_id")
+        .agg(F.expr("array_sort(flatten(collect_list(kept)))").alias("flat"))
+        .select(
+            "doc_id",
+            F.expr("array_join(transform(flat, p -> p.tok), ' ')").alias(
+                "clean_text"
             ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+            F.size("flat").cast("long").alias("n_kept"),
+        )
     )
     base = d.select("doc_id", F.size("t").cast("long").alias("n_tok"))
     return base.join(agg, "doc_id", "left").select(
