@@ -867,9 +867,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Construction (identical on both engines, so the oracle is exact):
     1. k=8-token shingles at every position (index-free zip_with
        chain — an indexed lambda re-runs split() per element under
-       alias substitution, the O(tokens^2) trap), md5-digested
-       map-side: positions shuffle (doc_id, pos, 32-byte h), never
-       text.
+       alias substitution, the O(tokens^2) trap), xxhash64-digested
+       map-side: positions shuffle (doc_id, pos, 8-byte h), never
+       text (r10: was md5/32-byte hex — the narrower digest cut the
+       position shuffle >4x in bytes; the ORACLE still groups by md5,
+       which is fine because any injective-on-this-corpus digest
+       yields the same multi-doc groups, the exact argument
+       dedup_near_recall pins for int-hashed shingles; a 2^-64
+       collision could only flag ONE extra position, and a span needs
+       >= 9 consecutive flags).
     2. A shingle is CROSS-DOC iff its h group spans >1 distinct doc
        (MIN != MAX over doc_id — partial-aggregated map-side, so a
        boilerplate shingle owned by a million docs folds to one row
@@ -909,10 +915,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).cast("long").alias("i"),  # 1-based, as oracle
-            F.md5("s").alias("h"),
+            F.xxhash64("s").alias("h"),
         )
         # pos feeds the multi-doc digest aggregate AND the flag join —
-        # without a barrier the 8-chained shingle build + md5 runs
+        # without a barrier the 8-chained shingle build + digest runs
         # twice (2.9s -> 2.2s at sf0.1; the digest relation is 3 small
         # columns, far cheaper to materialize than to recompute).
         .localCheckpoint(eager=False)
@@ -1223,7 +1229,7 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("p0") + 1).cast("long").alias("i"),
-            F.md5("s").alias("h"),
+            F.xxhash64("s").alias("h"),
         )
         # same barrier as dedup_substring: pos feeds multi + flag join
         .localCheckpoint(eager=False)
