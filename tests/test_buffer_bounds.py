@@ -33,7 +33,7 @@ BOUNDED_COLLECT_SITES = {
     "operators/text_quality.py": (1, "rank<=1024 bucket members (dedup_simhash)"),
     "operators/graph.py": (1, "k=4 centroids (kmeans_quantized)"),
     "operators/composite.py": (1, "per-document segment list (q_corpus_pipeline)"),
-    "operators/extensions.py": (1, "per-document kept-token list (dedup_substring_apply)"),
+    "operators/extensions.py": (2, "per-document span list (<= len/16 structs) and per-document kept-token arrays, one per delivery copy (dedup_substring_apply r10 doc-level rework — same document-length bound as the single site it replaced)"),
     "operators/curation.py": (4, "63 DCT coefficients per doc (dedup_phash median); 64 centroid dims per cid (dedup_semantic Lloyd); 24-row trend frame + one-per-day seasonal list (ts_seasonal_decompose)"),
 }
 
