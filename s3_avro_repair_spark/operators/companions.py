@@ -39,7 +39,8 @@ from .llm import (
     _QSTRIDE_SQL,
     _minhash_sig,
     _near_pairs,
-    _shingled,
+    _ngram_candidates,
+    _ngram_jaccard_scored,
     dedup_ngram_jaccard,
     query_panel,
     sim_ann_lsh,
@@ -388,15 +389,52 @@ def dedup_near_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped threshold) — the sampled recheck covers that claim (r6
     ADVICE).
 
-    The corpus is scanned and shingled ONCE: the shared
-    ``llm._shingled`` relation is checkpointed here and feeds the
-    signature pipeline (via ``_minhash_sig``/``_near_pairs`` — the
-    exact dedup_near dataflow), the injectivity pass, and the sampled
-    recheck. The previous formulation re-built the shingle pipeline
-    per branch and was the heaviest entry of the r6 100x census
-    (62s, heap-bound) for that reason."""
-    truth = _ngram_truth(spark, sf_dir, 0.5)
-    shingled = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    The corpus is scanned and shingled ONCE for ALL FOUR composed
+    pipelines (r11; previously the truth pipeline re-scanned and
+    re-shingled independently): the padded ``llm._shingled`` relation
+    plus a token count is checkpointed here and feeds the signature
+    pipeline (via ``_minhash_sig``/``_near_pairs`` — the exact
+    dedup_near dataflow), the injectivity pass, the sampled recheck,
+    AND the exact-Jaccard truth pipeline, whose DISTINCT-array
+    relation is derived from the same base: for >= 3-token docs the
+    padded and plain shingle arrays are identical (both n-2 shingles),
+    shorter docs become the empty array the ngram convention produces,
+    and NULL-text docs (absent from the base) could never enter the
+    candidate set anyway — their NULL shingle rows explode to nothing.
+    The pre-r6 formulation that re-built the shingle pipeline per
+    branch was the heaviest entry of the r6 100x census (62s,
+    heap-bound)."""
+    base = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", "source",
+            F.split("text", " ").alias("tokens"),
+        )
+        .select(
+            "doc_id", "lang", "source",
+            F.size("tokens").alias("n_tok"),
+            F.expr(
+                "zip_with(zip_with(slice(tokens, 1, greatest(size(tokens)-2, 1)),"
+                " slice(tokens, 2, greatest(size(tokens)-2, 1)),"
+                " (x, y) -> concat_ws(' ', x, y)),"
+                " slice(tokens, 3, greatest(size(tokens)-2, 1)),"
+                " (x, y) -> concat_ws(' ', x, y))"
+            ).alias("shingles"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    shingled = base.select("doc_id", "shingles")
+    sh_arr = base.select(
+        "doc_id", "lang", "source",
+        F.expr(
+            "IF(n_tok >= 3, array_distinct(shingles),"
+            " CAST(array() AS array<string>))"
+        ).alias("shingles"),
+    ).withColumn("n", F.size("shingles")).localCheckpoint(eager=False)
+    truth = _ngram_jaccard_scored(
+        *_ngram_candidates(spark, sf_dir, sh_arr=sh_arr)
+    ).filter(F.col("jaccard") >= 0.5).select("id_a", "id_b")
     found = _near_pairs(_minhash_sig(shingled)).select("id_a", "id_b")
     hit = truth.join(found, ["id_a", "id_b"], "left_semi")
     recall = _one_row(

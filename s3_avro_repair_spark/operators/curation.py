@@ -320,102 +320,135 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-soup background starts at 12 (measured nearest-neighbor
     histogram; the 4-band split catches 35/35 planted pairs with a
     ~3e-4 background band-collision rate)."""
+    # Only hex positions 1..127 (the 64 stride-2 pixels) are ever
+    # read, so only that PREFIX crosses the wire (~127 B/row, vs the
+    # r10 shape's 512 exploded rows at ~10 KB/doc).
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("h"))
-    )
-    px = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-        F.expr(
-            "CASE WHEN 2*j+1 <= length(h)"
-            " THEN ascii(substr(h, 2*j+1, 1)) ELSE 0 END"
-        ).alias("p"),
-    )
-    rowt = (
-        px.select(
+        .select(
             "doc_id",
-            "j",
-            "p",
-            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("u"),
-        )
-        .groupBy("doc_id", "u", F.expr("j DIV 8").alias("y"))
-        .agg(
-            F.sum(
-                F.expr(
-                    f"CAST(p AS BIGINT)"
-                    f" * element_at({_DCT_SPARK}, 8*u + (j % 8) + 1)"
-                )
-            ).alias("gv")
+            F.expr("substr(hex(encode(text, 'UTF-8')), 1, 127)").alias("hh"),
         )
     )
-    coef = (
-        rowt.select(
-            "doc_id",
-            "u",
-            "y",
-            "gv",
-            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("v"),
+    # The whole 8x8 integer DCT is PER-DOCUMENT arithmetic over exactly
+    # 64 pixels, so the signature is computed IN-ROW (r11): the r10
+    # shape exploded 512 rows/doc through TWO aggregation exchanges
+    # (rowt by (doc,u,y), coef by (doc,u,v)), joined the median back,
+    # and re-aggregated bands+sig — 4 exchanges plus a broadcast join
+    # before the band window. Now the hex prefixes of a doc_id's
+    # physical copies meet through ONE doc_id exchange, copies merge by
+    # ELEMENT-WISE pixel sum — the DCT is linear in the pixels, so
+    # this is EXACTLY the oracle's doc_id-grouped rowt sums over all
+    # copies' rows (production-shard copy-merge semantics, pinned by
+    # test_production_shard) — and the whole transform chain runs
+    # in-row on the merged pixels, post-exchange. Same fixed-point
+    # arithmetic on the same 64-literal basis table, same integer sums
+    # (addition order is irrelevant for exact integers), same
+    # median-of-63 — the DuckDB oracle text is UNCHANGED and exact.
+    #
+    # Form notes, all measured this round (OPTIMIZATION_r11.md):
+    # - Intermediates (px, g, f, med) are LAMBDA-BOUND via
+    #   transform(array(<expr>), var -> ...)[1], never column aliases:
+    #   CollapseProject inlines a once-referenced alias into its
+    #   consumer, and an array expression substituted into element_at
+    #   inside a lambda is RE-EVALUATED per call — the px->g->f chain
+    #   then costs (64*8)^depth per row instead of 64*8 per stage
+    #   (measured: minutes at sf0.01). A lambda variable is an
+    #   evaluated VALUE; no rule substitutes past the binder.
+    # - A fully-unrolled scalar-column form (64+64+63 flat columns,
+    #   codegen-friendly) executed 2x faster per row but paid 3-8s of
+    #   DRIVER ANALYSIS per plan build (wide Projects re-analyzed per
+    #   chained select) — the HOF form's whole expression tree is a
+    #   few hundred nodes, so analysis is milliseconds.
+    # - The copies meet as collected hex STRINGS, not pixel arrays:
+    #   collect_list of an array-typed column costs ~1.4s of PHYSICAL
+    #   PLANNING per build (vs 0.26s for strings, measured), and the
+    #   string prefix is the pixel vector already (stride-2 ascii).
+    # - The exchange is an EXPLICIT repartition(4 x defaultParallelism,
+    #   doc_id) the groupBy reuses (no second shuffle): with the
+    #   groupBy's own exchange, AQE correctly coalesces the fixture's
+    #   ~7 MB of shuffle bytes to ONE partition and the in-row DCT
+    #   serializes (measured 2.0-2.7s vs 0.68s). Cluster-derived, not
+    #   data-derived — the udtf_apply_in_pandas r10 convention.
+    merged = (
+        d.repartition(
+            4 * spark.sparkContext.defaultParallelism, "doc_id"
         )
-        .groupBy("doc_id", "u", "v")
-        .agg(
-            F.sum(
-                F.expr(
-                    f"gv * element_at({_DCT_SPARK},"
-                    " CAST(8*v + y + 1 AS INT))"
-                )
-            ).alias("f")
-        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("hh").alias("hs"))
     )
-    # fx feeds BOTH the median aggregate and the band packer; ranked
-    # feeds BOTH sides of the pair join — without barriers each branch
-    # re-executes the whole DCT pipeline (the r6 materialization
-    # lesson; measured 17 exchanges vs 6 with the checkpoints).
-    fx = (
-        coef.filter(~((F.col("u") == 0) & (F.col("v") == 0)))
-        .select("doc_id", F.expr("u*8 + v - 1").alias("idx"), "f")
-        .localCheckpoint(eager=False)
+    # merged pixel j = sum over copies of ascii(hex char at 2j+1)
+    # (2j+1 <= 127 for every j <= 63, so the prefix is lossless)
+    px_e = (
+        "transform(sequence(0, 63), j -> aggregate(hs, 0L, (a, hh) ->"
+        " a + IF(2*j+1 <= length(hh),"
+        " CAST(ascii(substr(hh, 2*j+1, 1)) AS BIGINT), 0L)))"
     )
-    med = fx.groupBy("doc_id").agg(
-        F.expr("element_at(sort_array(collect_list(f)), 32)").alias("med")
+    # separable DCT, rows pass: g[8u+y] = sum_x px[8y+x] * C[8u+x]
+    g_e = (
+        "transform(sequence(0, 63), n -> aggregate(sequence(0, 7), 0L,"
+        " (acc, x) -> acc + CAST(element_at(px, 8*(n % 8) + x + 1) AS BIGINT)"
+        f" * element_at({_DCT_SPARK}, CAST(8*(n DIV 8) + x + 1 AS INT))))"
     )
-    bands = (
-        fx.join(med, "doc_id")
-        .groupBy("doc_id", F.expr("idx DIV 16").alias("band_no"))
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN f > med"
-                    " THEN shiftleft(1, idx % 16) ELSE 0 END"
-                )
-            )
-            .cast("long")
-            .alias("band_val")
-        )
+    # columns pass: f[8u+v] = sum_y g[8u+y] * C[8v+y]
+    f_e = (
+        "transform(sequence(0, 63), m -> aggregate(sequence(0, 7), 0L,"
+        " (acc, y) -> acc + element_at(g, CAST(8*(m DIV 8) + y + 1 AS INT))"
+        f" * element_at({_DCT_SPARK}, 8*(m % 8) + y + 1)))"
     )
-    one = lambda i: F.coalesce(  # noqa: E731
-        F.sum(F.when(F.col("band_no") == i, F.col("band_val"))), F.lit(0)
-    ).cast("long")
-    sig = bands.groupBy("doc_id").agg(
-        one(0).alias("b0"), one(1).alias("b1"),
-        one(2).alias("b2"), one(3).alias("b3"),
+    # 63 AC coefficients are f[2..64] (1-based m = u*8+v >= 1, skipping
+    # DC m=0); idx = m-1, so element_at(f, idx + 2). Median = element 32
+    # of the ascending sort of all 63, exactly as the old
+    # sort_array(collect_list(f))[32]. Band 3 holds only 15 AC bits
+    # (idx 48..62) — the idx <= 62 guard mirrors the old bands
+    # relation, which simply had no idx-63 row.
+    med_e = "element_at(array_sort(slice(f, 2, 63)), 32)"
+    band_e = (
+        "aggregate(sequence(0, 15), 0L, (acc, t) ->"
+        " acc + CASE WHEN 16*{i} + t <= 62"
+        " AND element_at(f, 16*{i} + t + 2) > med"
+        " THEN CAST(shiftleft(1, t) AS BIGINT) ELSE 0L END)"
     )
+    bands_e = "array(" + ", ".join(
+        band_e.format(i=i) for i in range(4)
+    ) + ")"
+    sig_e = (
+        f"element_at(transform(array({px_e}), px ->"
+        f" element_at(transform(array({g_e}), g ->"
+        f" element_at(transform(array({f_e}), f ->"
+        f" element_at(transform(array({med_e}), med ->"
+        f" {bands_e}), 1)), 1)), 1)), 1)"
+    )
+    # Checkpoint the signature relation itself (doc_id + one 4-long
+    # array per doc — tiny at any scale): the optimizer's fixed-point
+    # iterations re-canonicalize the big lambda tree once per
+    # downstream rule pass, so leaving sig inline costs SECONDS of
+    # driver planning per build (measured 3.7s at the stacked step);
+    # behind the barrier the downstream plan sees Scan ExistingRDD.
+    sig = merged.select("doc_id", F.expr(sig_e).alias("bs")).localCheckpoint(
+        eager=False
+    )
+    # posexplode(bs) IS the old explode(sequence(0,3)) + CASE picker:
+    # band_no = pos, bv = bs[pos]; b0..b3 are cheap element_at lookups
+    # on the already-evaluated array AFTER the Generate.
     stacked = sig.select(
-        "doc_id", "b0", "b1", "b2", "b3",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_no"),
-    ).withColumn(
-        "bv",
-        F.expr(
-            "CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1"
-            " WHEN 2 THEN b2 ELSE b3 END"
-        ),
+        "doc_id", "bs", F.posexplode("bs").alias("band_no", "bv")
+    ).select(
+        "doc_id",
+        F.expr("element_at(bs, 1)").alias("b0"),
+        F.expr("element_at(bs, 2)").alias("b1"),
+        F.expr("element_at(bs, 3)").alias("b2"),
+        F.expr("element_at(bs, 4)").alias("b3"),
+        "band_no", "bv",
     )
     ranked = stacked.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("band_no", "bv").orderBy("doc_id")
         ),
+        # ranked feeds BOTH sides of the pair join; A/B'd this round:
+        # 1.34s with the barrier vs 1.68s re-running the window twice.
     ).localCheckpoint(eager=False)
     nbr = _PHASH_NBR
     a = ranked.select(

@@ -366,6 +366,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides) re-scans and re-shingles the corpus 8x; at 100 TB that is
     the whole job's cost."""
     cand, sh_arr = _ngram_candidates(spark, sf_dir)
+    return _ngram_jaccard_scored(cand, sh_arr)
+
+
+def _ngram_jaccard_scored(cand: DataFrame, sh_arr: DataFrame) -> DataFrame:
+    """Stage 2 of dedup_ngram_jaccard: exact Jaccard on the full
+    DISTINCT shingle arrays of the candidate pairs (shared with
+    dedup_near_recall's truth pipeline, which supplies a derived
+    sh_arr — r11)."""
     fa = sh_arr.select(
         F.col("doc_id").alias("id_a"),
         F.col("shingles").alias("sh_a"),
@@ -400,43 +408,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_candidates(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sh_arr: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """dedup_ngram_jaccard's bounded candidate generator, shared with
     extensions.dedup_containment: returns (cand, sh_arr) where sh_arr
     carries each doc's DISTINCT 3-shingle array + its size and cand is
     the deduplicated id_a < id_b pairs sharing a rare shingle (per-
     (lang, source)-block document frequency <= 16 — per-shingle join
-    fanout bounded by df^2 <= 256 at any corpus size)."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    sh_arr = (
-        d.withColumn("tokens", F.split("text", " "))
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.expr(
-                "array_distinct(zip_with(zip_with("
-                " slice(tokens, 1, greatest(size(tokens)-2, 0)),"
-                " slice(tokens, 2, greatest(size(tokens)-2, 0)),"
-                " (x, y) -> concat_ws(' ', x, y)),"
-                " slice(tokens, 3, greatest(size(tokens)-2, 0)),"
-                " (x, y) -> concat_ws(' ', x, y)))"
-            ).alias("shingles"),
+    fanout bounded by df^2 <= 256 at any corpus size).
+
+    ``sh_arr`` may be supplied prebuilt (dedup_near_recall derives it
+    from ONE shared shingle base instead of re-scanning and
+    re-shingling the corpus for its truth pipeline — r11); it must
+    already be a materialization barrier."""
+    if sh_arr is None:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
         )
-        .withColumn("n", F.size("shingles"))
-        # Materialization barrier: sh_arr feeds the rare-shingle
-        # explode AND both sides of the stage-2 array join-back — the
-        # r9 shape tokenized + shingled the corpus once per branch
-        # (4 scans in the r10 before-plan; 2.13s -> 1.73s at sf0.1).
-        # Trade (measured, documented): the checkpoint holds the
-        # per-doc DISTINCT shingle arrays (~3x text bytes) on executor
-        # disk once, against re-running scan + zip_with shingling +
-        # array_distinct three more times; the r6 probe that rejected
-        # materializing EXPLODED shingle rows does not apply to the
-        # array relation, which is one row per doc.
-        .localCheckpoint(eager=False)
-    )
+        sh_arr = (
+            d.withColumn("tokens", F.split("text", " "))
+            .select(
+                "doc_id",
+                "lang",
+                "source",
+                F.expr(
+                    "array_distinct(zip_with(zip_with("
+                    " slice(tokens, 1, greatest(size(tokens)-2, 0)),"
+                    " slice(tokens, 2, greatest(size(tokens)-2, 0)),"
+                    " (x, y) -> concat_ws(' ', x, y)),"
+                    " slice(tokens, 3, greatest(size(tokens)-2, 0)),"
+                    " (x, y) -> concat_ws(' ', x, y)))"
+                ).alias("shingles"),
+            )
+            .withColumn("n", F.size("shingles"))
+            # Materialization barrier: sh_arr feeds the rare-shingle
+            # explode AND both sides of the stage-2 array join-back — the
+            # r9 shape tokenized + shingled the corpus once per branch
+            # (4 scans in the r10 before-plan; 2.13s -> 1.73s at sf0.1).
+            # Trade (measured, documented): the checkpoint holds the
+            # per-doc DISTINCT shingle arrays (~3x text bytes) on executor
+            # disk once, against re-running scan + zip_with shingling +
+            # array_distinct three more times; the r6 probe that rejected
+            # materializing EXPLODED shingle rows does not apply to the
+            # array relation, which is one row per doc.
+            .localCheckpoint(eager=False)
+        )
     rare = (
         sh_arr.select(
             "doc_id", "lang", "source", F.explode("shingles").alias("shingle")

