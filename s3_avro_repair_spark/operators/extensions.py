@@ -1036,89 +1036,63 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     their bucket values differ, i.e. for hamming 1-5 near-dup pairs.
     Threshold: hamming <= 5 of 64 — the sf fixtures separate planted
     near-dups (0-5) from the word-soup background (>= 6) cleanly."""
-    # Only hex positions 1..127 (the 64 stride-2 pixels) are ever
-    # read, so only that PREFIX crosses the wire. The old px relation
-    # dropped docs whose hex is EMPTY (no valid pixel row -> absent
-    # from every aggregate); the explicit filter keeps that contract,
-    # per copy (a doc survives iff >= 1 copy is non-empty).
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
+        .select("doc_id", F.hex(F.encode("text", "UTF-8")).alias("h"))
+    )
+    px = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+            "h",
+        )
+        .filter(F.expr("2*j+1 <= length(h)"))
         .select(
             "doc_id",
-            F.expr("substr(hex(encode(text, 'UTF-8')), 1, 127)").alias("hh"),
+            "j",
+            F.expr("ascii(substr(h, 2*j+1, 1))").alias("p"),
         )
-        .filter(F.length("hh") >= 1)
     )
-    # The aHash signature is PER-DOCUMENT integer arithmetic over <= 64
-    # pixels, computed IN-ROW (r11): the r10 shape exploded 64 rows/doc
-    # into a (m,s) window exchange plus two aggregation exchanges
-    # (bands, sig). Now the hex prefixes of a doc_id's physical copies
-    # meet through ONE doc_id exchange and everything else — the
-    # global (m, s), the per-copy mean thresholds, the band sums over
-    # copies — runs in-row on the collected prefixes. Same integer
-    # comparisons (p*m > s, the division-free mean threshold), same
-    # bit packing, and the same COPY-MERGE semantics the production
-    # shard pins: (m, s) and the band sums span all physical copies of
-    # a doc_id, exactly like the oracle's doc_id-grouped aggregates
-    # (each copy's bits are thresholded against the GLOBAL mean and
-    # summed — integer addition order is immaterial, so collect_list
-    # order is too). The DuckDB oracle text is UNCHANGED and exact.
-    # Shape notes (collect STRINGS not arrays; lambda-bound
-    # intermediates; explicit cluster-derived repartition the groupBy
-    # reuses): see dedup_phash, same r11 pattern and measurements.
-    merged = (
-        d.repartition(
-            4 * spark.sparkContext.defaultParallelism, "doc_id"
+    # Per-doc (m, s) as a WINDOW over px, not groupBy + join-back: one
+    # hash exchange of px by doc_id replaces the r9 shape's aggregate
+    # exchange + join exchange AND stops px's scan+explode executing
+    # once per branch (r10; the downstream groupBys then reuse the
+    # doc_id partitioning — zero further exchanges until the band
+    # window). Same integer arithmetic, same rows.
+    wdoc = Window.partitionBy("doc_id")
+    pxm = px.withColumn("m", F.count(F.lit(1)).over(wdoc)).withColumn(
+        "s", F.sum("p").over(wdoc)
+    )
+    bands = (
+        pxm.groupBy("doc_id", F.expr("j DIV 16").alias("band_no"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN p * m > s"
+                    " THEN shiftleft(1, j % 16) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("band_val")
         )
-        .groupBy("doc_id")
-        .agg(F.collect_list("hh").alias("hs"))
     )
-    # per-copy pixel arrays, decoded from the hex prefixes ONCE (NULL
-    # past a copy's hex end — that pixel had no px row in the old
-    # exploded shape and contributes to nothing below)
-    pxs_e = (
-        "transform(hs, hh -> transform(sequence(0, 63), j ->"
-        " IF(2*j+1 <= length(hh),"
-        " CAST(ascii(substr(hh, 2*j+1, 1)) AS BIGINT),"
-        " CAST(NULL AS BIGINT))))"
-    )
-    # copy-spanning (m, s) over the decoded arrays
-    ms_e = (
-        "named_struct("
-        "'m', aggregate(pxs, 0L, (a, v) -> a + aggregate(v, 0L,"
-        " (a2, x) -> a2 + IF(x IS NULL, 0L, 1L))),"
-        "'s', aggregate(pxs, 0L, (a, v) -> a + aggregate(v, 0L,"
-        " (a2, x) -> a2 + coalesce(x, 0L))))"
-    )
-    # band i, bit t <- pixel j = 16i + t, summed over copies; a NULL
-    # pixel yields NULL * m > s = NULL -> CASE falls to 0, like its
-    # absent row fell out of the old conditional sum.
-    band_e = (
-        "aggregate(pxs, 0L, (acc, v) ->"
-        " acc + aggregate(sequence(0, 15), 0L, (a2, t) ->"
-        " a2 + CASE WHEN element_at(v, 16*{i} + t + 1) * ms.m > ms.s"
-        " THEN CAST(shiftleft(1, t) AS BIGINT) ELSE 0L END))"
-    )
-    bands_e = "array(" + ", ".join(
-        band_e.format(i=i) for i in range(4)
-    ) + ")"
-    sig_e = (
-        f"element_at(transform(array({pxs_e}), pxs ->"
-        f" element_at(transform(array({ms_e}), ms -> {bands_e}), 1)), 1)"
-    )
-    sig = merged.select("doc_id", F.expr(sig_e).alias("bs")).localCheckpoint(
-        eager=False
+    one = lambda i: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("band_no") == i, F.col("band_val"))), F.lit(0)
+    ).cast("long")
+    sig = bands.groupBy("doc_id").agg(
+        one(0).alias("b0"), one(1).alias("b1"),
+        one(2).alias("b2"), one(3).alias("b3"),
     )
     stacked = sig.select(
-        "doc_id", "bs", F.posexplode("bs").alias("band_no", "bv")
-    ).select(
-        "doc_id",
-        F.expr("element_at(bs, 1)").alias("b0"),
-        F.expr("element_at(bs, 2)").alias("b1"),
-        F.expr("element_at(bs, 3)").alias("b2"),
-        F.expr("element_at(bs, 4)").alias("b3"),
-        "band_no", "bv",
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_no"),
+    ).withColumn(
+        "bv",
+        F.expr(
+            "CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1"
+            " WHEN 2 THEN b2 ELSE b3 END"
+        ),
     )
     ranked = stacked.withColumn(
         "rn",
@@ -1126,8 +1100,9 @@ def dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("band_no", "bv").orderBy("doc_id")
         ),
         # Materialization barrier: ranked feeds BOTH sides of the
-        # pairing self-join (A/B'd on dedup_phash this round: the
-        # barrier wins over re-running the window per side).
+        # pairing self-join; without it the whole signature pipeline
+        # executes twice (4 scans of documents in the r10 before-plan).
+        # 4 small ints per (doc, band) — tiny at any scale.
     ).localCheckpoint(eager=False)
     nbr = _AHASH_NBR
     a = ranked.select(

@@ -206,12 +206,23 @@ class AvroOCFReader(DataSourceReader):
                     head += f.read(min(len(head), fsize - len(head)))
             names = [fl["name"] for fl in schema["fields"]]
 
+            # Whole-file fast path (r11): when the container fits one
+            # split (the common case at fixture scale; at 100 TB most
+            # files span many splits and take the streamed path), read
+            # it once and decode from memory — the chunked grow/trim
+            # machinery below copies the buffer on every trim, pure
+            # overhead when the bytes all fit anyway. Planning is
+            # untouched: partitions() still emits byte-range splits.
+            whole = start == 0 and end >= fsize
+            if whole and len(head) < fsize:
+                head += f.read()
+
             # Locate the first block whose header offset lies in
             # [start, end): the first split starts right after the
             # header; later splits scan for a sync marker ENDING at an
             # offset >= start (the sync may begin 16 bytes before the
             # range, owned by the previous split's last block).
-            buf = b""
+            buf = head if whole else b""
             base = 0  # absolute offset of buf[0]
             pos = 0   # absolute offset of the next block header
 
@@ -219,6 +230,8 @@ class AvroOCFReader(DataSourceReader):
                 # grow buf until it covers [base, abs_to) or EOF; trim
                 # consumed prefix so memory stays O(chunk + one block)
                 nonlocal buf, base
+                if whole:
+                    return
                 if pos - base > _CHUNK:
                     buf = buf[pos - base :]
                     base = pos
@@ -228,7 +241,9 @@ class AvroOCFReader(DataSourceReader):
                         break
                     buf += chunk
 
-            if start <= hdr_end:
+            if whole:
+                pos = hdr_end
+            elif start <= hdr_end:
                 pos = hdr_end
                 f.seek(pos)
                 base = pos

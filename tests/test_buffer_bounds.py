@@ -33,7 +33,7 @@ BOUNDED_COLLECT_SITES = {
     "operators/text_quality.py": (1, "rank<=1024 bucket members (dedup_simhash)"),
     "operators/graph.py": (1, "k=4 centroids (kmeans_quantized)"),
     "operators/composite.py": (1, "per-document segment list (q_corpus_pipeline)"),
-    "operators/extensions.py": (3, "per-document span list (<= len/16 structs) and per-document kept-token arrays, one per delivery copy (dedup_substring_apply r10 doc-level rework — same document-length bound as the single site it replaced); one 127-char hex prefix per delivery copy (dedup_ahash r11 in-row signature — copies per doc are the at-least-once duplication factor, a small constant)"),
+    "operators/extensions.py": (2, "per-document span list (<= len/16 structs) and per-document kept-token arrays, one per delivery copy (dedup_substring_apply r10 doc-level rework — same document-length bound as the single site it replaced)"),
     "operators/curation.py": (4, "one 127-char hex prefix per delivery copy (dedup_phash r11 in-row signature — the 63-coefficient median collect it replaced is now in-row); 64 centroid dims per cid (dedup_semantic Lloyd); 24-row trend frame + one-per-day seasonal list (ts_seasonal_decompose)"),
 }
 
