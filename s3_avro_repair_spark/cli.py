@@ -138,8 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     # the counts + detail actions must not run it twice.
     # MEMORY_AND_DISK, not the MEMORY_ONLY default: an evicted
     # partition would be RECOMPUTED by the second action, re-running
-    # the repair side effect the comment above promises cannot happen
-    # (ADVICE r9); disk-backed persistence makes the guarantee real.
+    # the repair side effect (ADVICE r9). Disk backing makes the
+    # guarantee EVICTION-proof, not failure-proof: both replicas live
+    # on executor-local disk, so losing the executor between the two
+    # actions still recomputes (ADVICE r10). For hard exactly-once,
+    # write the report to a temp parquet and read it back for both
+    # actions — accepted trade here: a lost executor in a CLI session
+    # is rare and the recompute is visible, not silent.
     from pyspark import StorageLevel
 
     report = report.persist(StorageLevel.MEMORY_AND_DISK)

@@ -871,11 +871,19 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
        map-side: positions shuffle (doc_id, pos, 8-byte h), never
        text (r10: was md5/32-byte hex — the narrower digest cut the
        position shuffle >4x in bytes; the ORACLE still groups by md5,
-       which is fine because any injective-on-this-corpus digest
-       yields the same multi-doc groups, the exact argument
-       dedup_near_recall pins for int-hashed shingles; a 2^-64
-       collision could only flag ONE extra position, and a span needs
-       >= 9 consecutive flags).
+       which is exact whenever the digest is injective on the corpus'
+       distinct shingles — dedup_near_recall CHECKS that property at
+       fixture scale rather than assuming it). Documented divergence
+       bound at production scale (ADVICE r10): at D distinct shingles
+       expect ~D^2/2^65 birthday-colliding pairs — ~3e4 at D = 1e12 —
+       and a false cross-doc flag ADJACENT to a real island does not
+       just add one sub-threshold position: it can extend a span
+       boundary or merge two islands, changing removed text for that
+       document. That is a ~1e-8 fraction of spans at 100 TB; a
+       pipeline requiring md5-exact parity at that scale should widen
+       the shuffle key to TWO independent digests
+       (xxhash64(s), xxhash64(seed, s)) — ~2^-128 collisions, 16 B,
+       still 2.5x narrower than hex md5.
     2. A shingle is CROSS-DOC iff its h group spans >1 distinct doc
        (MIN != MAX over doc_id — partial-aggregated map-side, so a
        boilerplate shingle owned by a million docs folds to one row

@@ -207,5 +207,10 @@ def test_corruption_fails_split_scans_too(spark, tmp_path):
         rd = spark.read.format(mount(spark)).schema("k long, s string, x double")
         if split:
             rd = rd.option("split_size_bytes", split)
-        with pytest.raises(Exception):
+        # match= pins that the TORN SYNC is what failed the scan — a
+        # bare raises(Exception) would also pass on any incidental
+        # reader bug (TypeError, IndexError) and prove nothing
+        # (ADVICE r10). CorruptBlock surfaces via PythonException, so
+        # the message text is the practical pin.
+        with pytest.raises(Exception, match="sync marker damaged|block@"):
             rd.load(str(d)).count()
